@@ -1,0 +1,429 @@
+"""Host boxtree builder tests.
+
+Ports the semantics of the reference's update test matrix
+(reference: src/boxtree/update/tests.rs) — insert/get/update/clear at brick
+dims 1/2/4, LOD ops with unaligned position/size, simplification, uniform-leaf
+separation — plus a global occupancy-bit invariant checker mirroring the
+reference's debug_assert sweeps.
+"""
+
+import numpy as np
+import pytest
+
+from voxelhex_tpu.constants import BOX_NODE_CHILDREN_COUNT
+from voxelhex_tpu.tree.boxtree import (
+    INTERNAL,
+    LEAF,
+    NOTHING,
+    U64_MAX,
+    UNIFORM,
+    Albedo,
+    BoxTree,
+    Entry,
+)
+
+RED = Albedo.from_u32(0xFF0000FF)
+GREEN = Albedo.from_u32(0x00FF00FF)
+BLUE = Albedo.from_u32(0x0000FFFF)
+
+
+def check_occupancy_invariants(tree: BoxTree):
+    """Every valid node's occupied bits must match per-sectant emptiness."""
+
+    def visit(key):
+        node = tree.node(key)
+        if node.ntype in (INTERNAL, LEAF, UNIFORM, NOTHING):
+            for s in range(BOX_NODE_CHILDREN_COUNT):
+                empty = tree.node_empty_at(key, s)
+                bit = (node.occupied >> s) & 1
+                if empty:
+                    assert bit == 0, f"node {key} sectant {s}: empty but bit set"
+                else:
+                    assert bit == 1, f"node {key} sectant {s}: occupied but bit clear"
+        if node.ntype == INTERNAL and node.children is not None:
+            for c in node.children:
+                if tree.key_is_valid(c):
+                    visit(c)
+
+    visit(tree.ROOT)
+
+
+@pytest.mark.parametrize("dim", [1, 2, 4])
+def test_simple_insert_and_get(dim):
+    tree = BoxTree(dim * 4, dim, auto_simplify=False)
+    tree.insert((0, 0, 0), RED)
+    tree.insert((1, 0, 0), GREEN)
+    tree.insert((0, 1, 0), BLUE)
+    assert tree.get((0, 0, 0)).albedo == RED
+    assert tree.get((1, 0, 0)).albedo == GREEN
+    assert tree.get((0, 1, 0)).albedo == BLUE
+    assert tree.get((1, 1, 1)).is_none
+    check_occupancy_invariants(tree)
+
+
+def test_insert_empty_is_noop():
+    tree = BoxTree(4, 1)
+    tree.insert((0, 0, 0), Entry())
+    assert tree.node(tree.ROOT).ntype == NOTHING
+    assert tree.get((0, 0, 0)).is_none
+
+
+def test_insert_out_of_bounds_raises():
+    tree = BoxTree(4, 1)
+    with pytest.raises(ValueError):
+        tree.insert((4, 0, 0), RED)
+
+
+def test_complex_insert_and_get():
+    tree = BoxTree(8, 2, auto_simplify=False)
+    tree.insert((0, 0, 0), Entry(albedo=RED, data=5))
+    tree.insert((1, 1, 1), Entry(data=7))
+    tree.insert((2, 2, 2), RED)
+    e = tree.get((0, 0, 0))
+    assert e.albedo == RED and e.data == 5
+    e = tree.get((1, 1, 1))
+    assert e.albedo is None and e.data == 7
+    e = tree.get((2, 2, 2))
+    assert e.albedo == RED and e.data is None
+    check_occupancy_invariants(tree)
+
+
+def test_update_color_keeps_data():
+    tree = BoxTree(4, 1)
+    tree.insert((0, 0, 0), Entry(albedo=RED, data=5))
+    tree.update((0, 0, 0), Entry(albedo=GREEN))
+    e = tree.get((0, 0, 0))
+    assert e.albedo == GREEN and e.data == 5
+
+
+def test_update_data_keeps_color():
+    tree = BoxTree(4, 1)
+    tree.insert((0, 0, 0), Entry(albedo=RED, data=5))
+    tree.update((0, 0, 0), Entry(data=9))
+    e = tree.get((0, 0, 0))
+    assert e.albedo == RED and e.data == 9
+
+
+def test_update_empty_is_noop():
+    tree = BoxTree(4, 1)
+    tree.insert((0, 0, 0), Entry(albedo=RED, data=5))
+    tree.update((0, 0, 0), Entry())
+    e = tree.get((0, 0, 0))
+    assert e.albedo == RED and e.data == 5
+
+
+@pytest.mark.parametrize("dim", [1, 2])
+def test_insert_at_lod_aligned(dim):
+    size = dim * 16
+    tree = BoxTree(size, dim, auto_simplify=False)
+    # fill one quarter-node-aligned region of extent 2*dim
+    region = 2 * dim
+    tree.insert_at_lod((0, 0, 0), region, RED)
+    hits = 0
+    for x in range(size):
+        for y in range(size):
+            for z in range(size):
+                e = tree.get((x, y, z))
+                if e.is_some:
+                    assert e.albedo == RED
+                    hits += 1
+    assert hits == region**3
+    check_occupancy_invariants(tree)
+
+
+def test_insert_at_lod_with_unaligned_position_where_dim_is_4():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert_at_lod((1, 1, 1), 4, RED)
+    hits = 0
+    for x in range(4):
+        for y in range(4):
+            for z in range(4):
+                e = tree.get((x, y, z))
+                if e.is_some:
+                    assert e.albedo == RED
+                    hits += 1
+    # the update clips to [1,4) inside the first brick: 3^3 voxels
+    assert hits == 27
+    check_occupancy_invariants(tree)
+
+
+def test_insert_at_lod_with_unaligned_size_where_dim_is_1():
+    tree = BoxTree(16, 1, auto_simplify=False)
+    tree.insert_at_lod((2, 2, 2), 3, RED)
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(8)
+        for y in range(8)
+        for z in range(8)
+    )
+    # clipped to the containing 4^3 node: [2,4) per axis
+    assert hits == 8
+    check_occupancy_invariants(tree)
+
+
+def test_insert_at_lod_with_unaligned_size_and_position_where_dim_is_1():
+    tree = BoxTree(16, 1, auto_simplify=False)
+    tree.insert_at_lod((3, 3, 3), 3, RED)
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(8)
+        for y in range(8)
+        for z in range(8)
+    )
+    assert hits == 1
+    check_occupancy_invariants(tree)
+
+
+def test_insert_at_lod_with_unaligned_size_where_dim_is_4():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert_at_lod((1, 1, 1), 3, RED)
+    assert tree.get((1, 1, 1)).albedo == RED
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(8)
+        for y in range(8)
+        for z in range(8)
+    )
+    assert hits == 27
+    check_occupancy_invariants(tree)
+
+
+def test_insert_at_lod_with_simplify():
+    tree = BoxTree(16, 1)
+    tree.insert_at_lod((4, 0, 0), 2, RED)
+    for x, y, z in [(4, 0, 0), (4, 0, 1), (4, 1, 0), (4, 1, 1),
+                    (5, 0, 0), (5, 0, 1), (5, 1, 0), (5, 1, 1)]:
+        assert tree.get((x, y, z)).albedo == RED
+    tree.insert_at_lod((0, 0, 0), 4, GREEN)
+    hits = 0
+    for x in range(4):
+        for y in range(4):
+            for z in range(4):
+                e = tree.get((x, y, z))
+                if e.is_some:
+                    assert e.albedo == GREEN
+                    hits += 1
+    for x in range(4, 6):
+        for y in range(2):
+            for z in range(2):
+                e = tree.get((x, y, z))
+                if e.is_some:
+                    assert e.albedo == RED
+                    hits += 1
+    assert hits == 64 + 8
+    check_occupancy_invariants(tree)
+
+
+def test_whole_node_overwrite_makes_uniform_solid():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert_at_lod((0, 0, 0), 4, RED)
+    # the child covering [0,4)^3 should be a solid uniform node
+    root = tree.node(tree.ROOT)
+    assert root.ntype == INTERNAL
+    child = root.child(0)
+    assert tree.key_is_valid(child)
+    cn = tree.node(child)
+    assert cn.ntype == UNIFORM and isinstance(cn.bricks, (int, np.integer))
+    assert cn.occupied == U64_MAX
+    for p in [(0, 0, 0), (3, 3, 3), (1, 2, 3)]:
+        assert tree.get(p).albedo == RED
+    check_occupancy_invariants(tree)
+
+
+@pytest.mark.parametrize("dim", [1, 2])
+def test_simple_clear(dim):
+    tree = BoxTree(dim * 4, dim, auto_simplify=False)
+    tree.insert((0, 0, 0), RED)
+    tree.insert((0, 1, 0), GREEN)
+    tree.clear((0, 0, 0))
+    assert tree.get((0, 0, 0)).is_none
+    assert tree.get((0, 1, 0)).albedo == GREEN
+    check_occupancy_invariants(tree)
+
+
+def test_clear_to_nothing():
+    tree = BoxTree(4, 1)
+    tree.insert((1, 1, 1), RED)
+    tree.clear((1, 1, 1))
+    assert tree.get((1, 1, 1)).is_none
+    assert tree.node(tree.ROOT).ntype == NOTHING
+    assert tree.node(tree.ROOT).occupied == 0
+
+
+def test_double_clear():
+    tree = BoxTree(8, 2, auto_simplify=False)
+    tree.insert((0, 0, 0), RED)
+    tree.insert((0, 1, 0), GREEN)
+    tree.clear((0, 0, 0))
+    tree.clear((0, 0, 0))
+    assert tree.get((0, 0, 0)).is_none
+    assert tree.get((0, 1, 0)).albedo == GREEN
+    check_occupancy_invariants(tree)
+
+
+@pytest.mark.parametrize("dim", [1, 4])
+def test_clear_at_lod(dim):
+    size = dim * 16
+    tree = BoxTree(size, dim, auto_simplify=False)
+    region = 4 * dim
+    tree.insert_at_lod((0, 0, 0), region, RED)
+    tree.clear_at_lod((0, 0, 0), region // 2)
+    hits = 0
+    for x in range(region):
+        for y in range(region):
+            for z in range(region):
+                if tree.get((x, y, z)).is_some:
+                    hits += 1
+    assert hits == region**3 - (region // 2) ** 3
+    check_occupancy_invariants(tree)
+
+
+def test_clear_whole_nodes_where_dim_is_4():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert_at_lod((0, 0, 0), 16, RED)
+    tree.clear_at_lod((0, 0, 0), 4)
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(16)
+        for y in range(16)
+        for z in range(16)
+    )
+    assert hits == 16**3 - 4**3
+    check_occupancy_invariants(tree)
+
+
+def test_overwrite_whole_nodes_where_dim_is_4():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert_at_lod((0, 0, 0), 16, RED)
+    tree.insert_at_lod((0, 0, 0), 4, GREEN)
+    for p, want in [((0, 0, 0), GREEN), ((3, 3, 3), GREEN), ((4, 4, 4), RED),
+                    ((15, 15, 15), RED), ((4, 0, 0), RED)]:
+        assert tree.get(p).albedo == want, p
+    check_occupancy_invariants(tree)
+
+
+@pytest.mark.parametrize("dim", [1, 4])
+def test_uniform_solid_leaf_separated_by_clear(dim):
+    size = dim * 4
+    tree = BoxTree(size, dim, auto_simplify=False)
+    tree.insert_at_lod((0, 0, 0), size, RED)
+    tree.clear((0, 0, 0))
+    assert tree.get((0, 0, 0)).is_none
+    for p in [(1, 0, 0), (0, 1, 0), (size - 1, size - 1, size - 1)]:
+        assert tree.get(p).albedo == RED
+    check_occupancy_invariants(tree)
+
+
+@pytest.mark.parametrize("dim", [1, 4])
+def test_uniform_solid_leaf_separated_by_insert(dim):
+    size = dim * 4
+    tree = BoxTree(size, dim, auto_simplify=False)
+    tree.insert_at_lod((0, 0, 0), size, RED)
+    tree.insert((0, 0, 0), GREEN)
+    assert tree.get((0, 0, 0)).albedo == GREEN
+    for p in [(1, 0, 0), (0, 1, 0), (size - 1, size - 1, size - 1)]:
+        assert tree.get(p).albedo == RED
+    check_occupancy_invariants(tree)
+
+
+def test_simplifyable_insert_collapses_to_uniform():
+    size, dim = 4, 1
+    tree = BoxTree(size, dim, auto_simplify=True)
+    for x in range(size):
+        for y in range(size):
+            for z in range(size):
+                tree.insert((x, y, z), RED)
+    # fully red tree simplifies to a single uniform solid root
+    tree.simplify(tree.ROOT, recursive=True)
+    root = tree.node(tree.ROOT)
+    assert root.ntype == UNIFORM
+    assert isinstance(root.bricks, (int, np.integer))
+    assert root.occupied == U64_MAX
+    # a differing insert breaks it back apart, keeping integrity
+    tree.insert((0, 0, 0), GREEN)
+    assert tree.get((0, 0, 0)).albedo == GREEN
+    for p in [(1, 1, 1), (3, 3, 3)]:
+        assert tree.get(p).albedo == RED
+
+
+def test_simplifyable_clear_breaks_uniformity():
+    size, dim = 8, 2
+    tree = BoxTree(size, dim, auto_simplify=True)
+    tree.insert_at_lod((0, 0, 0), size, RED)
+    tree.clear((0, 0, 0))
+    assert tree.get((0, 0, 0)).is_none
+    assert tree.get((1, 1, 1)).albedo == RED
+    check_occupancy_invariants(tree)
+
+
+def test_case_simplified_insert_separated_by_clear_where_dim_is_1():
+    tree = BoxTree(4, 1)
+    for x in range(2):
+        for y in range(2):
+            for z in range(2):
+                tree.insert((x, y, z), RED)
+    tree.clear((0, 0, 0))
+    assert tree.get((0, 0, 0)).is_none
+    for x in range(2):
+        for y in range(2):
+            for z in range(2):
+                if (x, y, z) != (0, 0, 0):
+                    assert tree.get((x, y, z)).albedo == RED
+    check_occupancy_invariants(tree)
+
+
+def test_ocbits_resolution_small_clear_in_large_node():
+    """Clearing one voxel of a full 4-dim brick only clears the matching
+    occupancy bit (reference: update/tests.rs:1094)."""
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert_at_lod((0, 0, 0), 4, RED)
+    tree.clear((0, 0, 0))
+    child = tree.node(tree.ROOT).child(0)
+    node = tree.node(child)
+    assert node.occupied == U64_MAX & ~1
+    check_occupancy_invariants(tree)
+
+
+def test_ocbits_resolution_small_insert_in_large_node():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert((0, 0, 0), RED)
+    child = tree.node(tree.ROOT).child(0)
+    node = tree.node(child)
+    assert node.occupied == 1
+    assert tree.node(tree.ROOT).occupied == 1
+    check_occupancy_invariants(tree)
+
+
+def test_occlusion_bits():
+    """A fully occupied node sets occlusion on its six same-level siblings
+    (reference scenario: update/tests.rs:1772-1840)."""
+    tree = BoxTree(16, 1)
+    tree.insert((5, 5, 5), RED)
+    center, _, csize = tree.get_node_at((5, 5, 5))
+    assert csize == 4.0
+    assert tree.node(center).occlusion == 0
+
+    for pos in [(4, 0, 4), (4, 8, 4), (0, 4, 4), (8, 4, 4), (4, 4, 0), (4, 4, 8)]:
+        tree.insert_at_lod(pos, 4, RED)
+    assert tree.node(center).occlusion == 0x3F
+
+    tree.clear_at_lod((4, 4, 8), 4)
+    assert tree.node(center).occlusion == 0x3D
+
+
+def test_palette_dedup():
+    tree = BoxTree(4, 1, auto_simplify=False)
+    for i in range(8):
+        tree.insert((i % 4, i // 4, 0), RED)
+    assert len(tree.color_palette) == 1
+    tree.insert((0, 2, 0), GREEN)
+    assert len(tree.color_palette) == 2
+
+
+def test_node_count_shrinks_after_clear():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert_at_lod((0, 0, 0), 16, RED)
+    n_full = tree.node_count
+    tree.clear_at_lod((0, 0, 0), 16)
+    assert tree.node_count <= n_full
+    assert tree.node(tree.ROOT).ntype == NOTHING
