@@ -247,8 +247,10 @@ def dda_step_to_next_sibling(direction, ray_point, cell_min, cell_size, scale_fa
     signum = np.sign(d).astype(np.float32)
     diff_from_min = p - m
     steps_needed = np.float32(cell_size) * np.maximum(signum, 0.0) - signum * diff_from_min
-    dists = np.abs(steps_needed * np.asarray(scale_factors, dtype=np.float32))
-    min_step = float(np.min(dists))
+    # 0 * inf = NaN on axis-parallel rays; Rust min ignores NaNs — match it.
+    with np.errstate(invalid="ignore"):
+        dists = np.abs(steps_needed * np.asarray(scale_factors, dtype=np.float32))
+    min_step = float(np.nanmin(dists))
     new_p = p + d * np.float32(min_step)
     step = np.where(dists == min_step, signum, 0.0).astype(np.float32)
     return new_p, step
