@@ -1,15 +1,21 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Multi-chip TPU hardware is not available in CI; sharding tests therefore run
-against ``xla_force_host_platform_device_count=8`` CPU devices.  The flags
-must be set before JAX initializes, hence the env mutation at import time.
+Multi-chip TPU hardware is not available in CI; sharding tests run against
+``xla_force_host_platform_device_count=8`` CPU devices.  The environment in
+this image force-registers a remote TPU ("axon") platform via sitecustomize
+and overrides JAX_PLATFORMS, so the CPU platform must be selected through
+``jax.config`` after import — env vars alone are not honored.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

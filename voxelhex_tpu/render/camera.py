@@ -1,0 +1,84 @@
+"""Viewport / camera math.
+
+Equivalent of the reference Viewport (reference:
+src/raytracing/bevy/types.rs:61-88, view.rs:211-239): a pinhole camera in the
+tree's left-handed Y-up world.  Ray generation is vectorized NumPy producing
+[H, W, 3] origin/direction arrays the device renderers consume directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _normalize(v):
+    v = np.asarray(v, dtype=np.float32)
+    return v / np.linalg.norm(v)
+
+
+@dataclass
+class Camera:
+    origin: np.ndarray
+    target: np.ndarray
+    up: np.ndarray = field(default_factory=lambda: np.array([0.0, 1.0, 0.0]))
+    fov_y_deg: float = 50.0
+    resolution: tuple[int, int] = (1280, 720)  # (width, height)
+
+    def basis(self):
+        forward = _normalize(np.asarray(self.target) - np.asarray(self.origin))
+        right = _normalize(np.cross(self.up, forward))
+        up = np.cross(forward, right)
+        return forward, right, up
+
+    def rays(self):
+        """Returns (origins [H,W,3] f32, directions [H,W,3] f32, normalized).
+
+        Pixel (0, 0) is the top-left of the image.
+        """
+        w, h = self.resolution
+        forward, right, up = self.basis()
+        aspect = w / h
+        tan_half = np.tan(np.radians(self.fov_y_deg) / 2.0)
+        px = (np.arange(w) + 0.5) / w * 2.0 - 1.0  # [-1, 1] left -> right
+        py = 1.0 - (np.arange(h) + 0.5) / h * 2.0  # [1, -1] top -> bottom
+        dirs = (
+            forward[None, None, :]
+            + px[None, :, None] * tan_half * aspect * right[None, None, :]
+            + py[:, None, None] * tan_half * up[None, None, :]
+        )
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        origins = np.broadcast_to(
+            np.asarray(self.origin, dtype=np.float32), dirs.shape
+        )
+        return origins.astype(np.float32), dirs.astype(np.float32)
+
+
+def orbit_camera(
+    scene_size: float,
+    yaw_deg: float = 40.0,
+    pitch_deg: float = 30.0,
+    distance_factor: float = 1.8,
+    resolution=(1280, 720),
+    fov_y_deg: float = 50.0,
+) -> Camera:
+    """Camera orbiting the scene center — the gpu_render example's pan-orbit
+    setup (reference: examples/gpu_render.rs:101-121)."""
+    center = np.array([scene_size / 2.0] * 3, dtype=np.float32)
+    r = scene_size * distance_factor
+    yaw, pitch = np.radians(yaw_deg), np.radians(pitch_deg)
+    offset = np.array(
+        [
+            r * np.cos(pitch) * np.sin(yaw),
+            r * np.sin(pitch),
+            -r * np.cos(pitch) * np.cos(yaw),
+        ],
+        dtype=np.float32,
+    )
+    return Camera(
+        origin=center + offset,
+        target=center,
+        resolution=resolution,
+        fov_y_deg=fov_y_deg,
+    )
