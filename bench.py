@@ -1,0 +1,117 @@
+"""Headline benchmark: rays/sec/chip, forward render at 1080p.
+
+Renders the BASELINE gpu_render configuration — a procedural 128^3 scene with
+brick_dim 32 (reference: examples/gpu_render.rs:17-23) — at 1920x1080 with
+the fastest available device renderer, and prints ONE JSON line:
+
+    {"metric": "rays_per_sec_fwd_1080p", "value": N, "unit": "rays/s",
+     "vs_baseline": R}
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+ratio is measured against this repo's own first recorded TPU result
+(BENCH_BASELINE.json, written on the first run) — values > 1.0 mean faster
+than the round-1 kernel.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+RES = (1920, 1080)
+
+
+def build_scene():
+    """Procedural scene mirroring examples/gpu_render.rs:26-99: a 128^3 tree
+    (brick_dim 32) with a floor slab, a filled box and a sphere shell."""
+    from voxelhex_tpu.tree.build import from_voxels
+
+    size, brick = 128, 32
+    pts = []
+    cols = []
+    # floor
+    for x in range(size):
+        for z in range(size):
+            y = (x + z) % 8
+            pts.append((x, y, z))
+            cols.append((50 + x, 100, 50 + z, 255))
+    # box
+    for x in range(20, 60):
+        for y in range(8, 48):
+            for z in range(20, 60):
+                if x in (20, 59) or y in (8, 47) or z in (20, 59) or (x + y + z) % 3 == 0:
+                    pts.append((x, y, z))
+                    cols.append((200, 60 + y, 60, 255))
+    # sphere shell
+    c, r = np.array([88.0, 64.0, 88.0]), 24.0
+    for x in range(60, 118):
+        for y in range(36, 94):
+            for z in range(60, 118):
+                d = np.linalg.norm(np.array([x, y, z]) - c)
+                if r - 1.5 <= d <= r + 1.5:
+                    pts.append((x, y, z))
+                    cols.append((60, 80, 220, 255))
+    pts = np.array(pts, dtype=np.int64)
+    cols = np.clip(np.array(cols, dtype=np.int64), 0, 255).astype(np.uint8)
+    return from_voxels(pts, cols, size=size, brick_dim=brick, simplify=True)
+
+
+def main():
+    from voxelhex_tpu.render.camera import orbit_camera
+    from voxelhex_tpu.tree.flat import flatten
+    import jax
+
+    tree = build_scene()
+    flat = flatten(tree)
+    cam = orbit_camera(flat.size, resolution=RES)
+
+    from voxelhex_tpu.render import fastest_renderer
+
+    renderer = fastest_renderer(flat)
+    # warmup / compile
+    img = renderer.render(cam)
+    np.asarray(img)
+
+    n_frames = 3
+    t0 = time.time()
+    for _ in range(n_frames):
+        img = renderer.render(cam)
+    np.asarray(img)
+    dt = (time.time() - t0) / n_frames
+
+    rays = RES[0] * RES[1]
+    rays_per_sec = rays / dt
+
+    vs_baseline = 1.0
+    if os.path.exists(BASELINE_FILE):
+        try:
+            base = json.load(open(BASELINE_FILE))["value"]
+            vs_baseline = rays_per_sec / base
+        except Exception:
+            pass
+    else:
+        try:
+            json.dump(
+                {"metric": "rays_per_sec_fwd_1080p", "value": rays_per_sec},
+                open(BASELINE_FILE, "w"),
+            )
+        except Exception:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_fwd_1080p",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Differentiable rendering + multi-device sharding tests (8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from voxelhex_tpu.diff.fit import fit_albedo
+from voxelhex_tpu.diff.render import DiffRenderer
+from voxelhex_tpu.parallel.render import (
+    make_ray_mesh,
+    shard_rays,
+    sharded_render_fn,
+    sharded_train_step,
+)
+from voxelhex_tpu.render.camera import orbit_camera
+from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+from voxelhex_tpu.tree.flat import flatten
+
+RED = Albedo.from_u32(0xFF0000FF)
+GREEN = Albedo.from_u32(0x00FF00FF)
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    rng = np.random.default_rng(13)
+    for _ in range(60):
+        p = tuple(int(v) for v in rng.integers(0, 16, 3))
+        tree.insert(p, RED if rng.random() < 0.5 else GREEN)
+    tree.insert_at_lod((4, 4, 4), 4, GREEN)  # a solid node to exercise densify
+    return flatten(tree)
+
+
+@pytest.fixture(scope="module")
+def rays(small_scene):
+    cam = orbit_camera(small_scene.size, resolution=(40, 32))
+    o, d = cam.rays()
+    return o.reshape(-1, 3), d.reshape(-1, 3)
+
+
+def test_densify_removes_solids(small_scene):
+    diff = DiffRenderer(small_scene)
+    from voxelhex_tpu.tree.flat import EMPTY_DESC, SOLID_FLAG
+
+    ch = diff.flat.node_children
+    meta = diff.flat.node_meta
+    leaf_rows = (meta & 1) != 0
+    descs = ch[leaf_rows].reshape(-1)
+    solid = (descs != EMPTY_DESC) & ((descs & SOLID_FLAG) != 0)
+    assert not solid.any()
+
+
+def test_gradients_flow_to_hit_voxels(small_scene, rays):
+    origins, dirs = rays
+    diff = DiffRenderer(small_scene)
+    params = diff.init_params()
+    target = jnp.zeros((origins.shape[0], 3))
+
+    loss, grads = jax.value_and_grad(diff.loss)(
+        params, jnp.asarray(origins), jnp.asarray(dirs), target
+    )
+    g = np.asarray(grads)
+    assert float(loss) > 0
+    assert np.abs(g).sum() > 0
+    # gradients only land on voxels, not everywhere
+    assert (np.abs(g).sum(axis=-1) > 0).mean() < 0.9
+
+
+def test_fit_recovers_albedo(small_scene, rays):
+    origins, dirs = rays
+    diff = DiffRenderer(small_scene)
+    true_params = diff.init_params()
+    target = diff.render(true_params, jnp.asarray(origins), jnp.asarray(dirs))
+
+    # start from a gray init and recover
+    init = jnp.full_like(true_params, 0.5)
+    params, losses = fit_albedo(
+        diff, origins, dirs, np.asarray(target), steps=150, lr=0.1, params0=init
+    )
+    assert losses[-1] < losses[0] * 0.02, (losses[0], losses[-1])
+
+    # rendered image with fitted params matches the target closely
+    out = diff.render(params, jnp.asarray(origins), jnp.asarray(dirs))
+    err = float(jnp.mean(jnp.abs(out - target)))
+    assert err < 0.02, err
+
+
+def test_sharded_render_matches_single_device(small_scene, rays):
+    origins, dirs = rays
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    diff = DiffRenderer(small_scene)
+    params = diff.init_params()
+
+    mesh = make_ray_mesh()
+    render = sharded_render_fn(diff, mesh)
+    (o_sh, d_sh), n = shard_rays(mesh, origins, dirs)
+    rgb_sharded = np.asarray(render(params, o_sh, d_sh))[:n]
+
+    rgb_single = np.asarray(
+        jax.jit(diff.render)(params, jnp.asarray(origins), jnp.asarray(dirs))
+    )
+    np.testing.assert_allclose(rgb_sharded, rgb_single, atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device(small_scene, rays):
+    origins, dirs = rays
+    diff = DiffRenderer(small_scene)
+    params = diff.init_params()
+    target = np.asarray(
+        jax.jit(diff.render)(params, jnp.asarray(origins), jnp.asarray(dirs))
+    )
+    init = jnp.full_like(params, 0.5)
+
+    opt = optax.sgd(0.1)
+
+    # single-device step
+    def loss_fn(p):
+        rgb = diff.render(p, jnp.asarray(origins), jnp.asarray(dirs))
+        return jnp.mean((rgb - target) ** 2)
+
+    loss1, grads1 = jax.value_and_grad(loss_fn)(init)
+    updates1, _ = opt.update(grads1, opt.init(init))
+    ref_params = jnp.clip(init + updates1, 0.0, 1.0)
+
+    # sharded step: ray count must divide the mesh for exact mean parity
+    mesh = make_ray_mesh()
+    n_keep = (origins.shape[0] // 8) * 8
+    o, d, t = origins[:n_keep], dirs[:n_keep], target[:n_keep]
+    (o_sh, d_sh, t_sh), _ = shard_rays(mesh, o, d, t)
+    step = sharded_train_step(diff, mesh, opt)
+    params2, _state, loss2 = step(init, opt.init(init), o_sh, d_sh, t_sh)
+
+    # compare against a single-device step on the same truncated batch
+    def loss_fn_trunc(p):
+        rgb = diff.render(p, jnp.asarray(o), jnp.asarray(d))
+        return jnp.mean((rgb - t) ** 2)
+
+    loss1t, grads1t = jax.value_and_grad(loss_fn_trunc)(init)
+    updates1t, _ = opt.update(grads1t, opt.init(init))
+    ref_params_t = jnp.clip(init + updates1t, 0.0, 1.0)
+
+    assert float(loss2) == pytest.approx(float(loss1t), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params2), np.asarray(ref_params_t), atol=1e-5
+    )

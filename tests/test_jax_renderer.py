@@ -36,7 +36,7 @@ def test_matches_oracle_on_random_rays(scene):
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     origins = (targets - dirs * 40).astype(np.float32)
     dirs = dirs.astype(np.float32)
-    hit, voxel, hpoint, _ = renderer.trace(origins, dirs)
+    hit, voxel, _hb, _hc, hpoint, _ = renderer.trace(origins, dirs)
     hit, voxel = np.asarray(hit), np.asarray(voxel)
     hpoint = np.asarray(hpoint)
     checked = 0
@@ -60,7 +60,7 @@ def test_matches_oracle_rays_from_inside(scene):
     origins = (rng.random((n, 3)) * 12 + 2).astype(np.float32)
     dirs = rng.normal(size=(n, 3))
     dirs = (dirs / np.linalg.norm(dirs, axis=1, keepdims=True)).astype(np.float32)
-    hit, voxel, _, _ = renderer.trace(origins, dirs)
+    hit, voxel, _hb, _hc, _, _ = renderer.trace(origins, dirs)
     hit, voxel = np.asarray(hit), np.asarray(voxel)
     checked = 0
     for i in range(n):

@@ -1,0 +1,77 @@
+"""Albedo fitting: optimize per-voxel colors from target images.
+
+The BASELINE "differentiable fit" configuration: render a scene from several
+viewpoints, perturb / reinitialize the albedo, and recover the original colors
+by gradient descent through the renderer.  Supports single-device and
+mesh-sharded (rays data-parallel, params replicated, grads all-reduced)
+execution — see :mod:`voxelhex_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from voxelhex_tpu.diff.render import DiffRenderer
+
+
+def fit_albedo(
+    diff: DiffRenderer,
+    origins,
+    dirs,
+    targets,
+    steps: int = 200,
+    lr: float = 0.05,
+    params0=None,
+    precompute_hits: bool = True,
+):
+    """Fit per-voxel albedo to target pixels.
+
+    * ``origins/dirs`` — [R, 3] ray batch (all viewpoints concatenated)
+    * ``targets`` — [R, 3] target pixel colors
+    * ``precompute_hits`` — trace once and train on cached (brick, cell)
+      indices (the structure is static; this is the fast path)
+
+    Returns (params, losses).
+    """
+    origins = jnp.asarray(origins).reshape(-1, 3)
+    dirs = jnp.asarray(dirs).reshape(-1, 3)
+    targets = jnp.asarray(targets).reshape(-1, 3)
+
+    params = diff.init_params() if params0 is None else jnp.asarray(params0)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    if precompute_hits:
+        hit, _voxel, brick, cell, _point, normal = jax.jit(diff.trace_rays)(
+            origins, dirs
+        )
+        from voxelhex_tpu.diff.render import shade_diff
+
+        def loss_fn(p):
+            brick_c = jnp.clip(brick, 0, p.shape[0] - 1)
+            cell_c = jnp.clip(cell, 0, p.shape[1] - 1)
+            albedo = p[brick_c, cell_c]
+            albedo = jnp.where((hit & (brick >= 0))[:, None], albedo, 0.0)
+            rgb = shade_diff(albedo, hit, normal, jnp.zeros(3))
+            return jnp.mean((rgb - targets) ** 2)
+
+    else:
+
+        def loss_fn(p):
+            return diff.loss(p, origins, dirs, targets)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = jnp.clip(params, 0.0, 1.0)
+        return params, opt_state, loss
+
+    losses = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    return params, losses

@@ -7,3 +7,11 @@
   render paths.
 * :mod:`voxelhex_tpu.render.jax_renderer` — vectorized jitted JAX renderer.
 """
+
+
+def fastest_renderer(flat, **kwargs):
+    """The fastest available device renderer for this snapshot (the Pallas
+    kernel when present and applicable, else the jitted JAX renderer)."""
+    from voxelhex_tpu.render.jax_renderer import JaxRenderer
+
+    return JaxRenderer(flat, **kwargs)

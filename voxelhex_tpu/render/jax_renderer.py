@@ -142,7 +142,8 @@ def _make_trace_ray(brick_dim: int, max_outer: int = 8, max_inner: int = 512):
     d3 = brick_dim**3
 
     def probe_brick(tree, desc, point, dirv, sf, bmin, bsize):
-        """Returns (hit, voxel, point_after, hit_point, normal)."""
+        """Returns (hit, voxel, brick_idx, cell_flat, point_after, hit_point,
+        normal).  ``brick_idx``/``cell_flat`` are -1 for solid bricks."""
         is_solid = (desc != EMPTY_DESC) & ((desc & SOLID_FLAG) != 0)
         is_parted = (desc != EMPTY_DESC) & ((desc & SOLID_FLAG) == 0)
 
@@ -151,6 +152,8 @@ def _make_trace_ray(brick_dim: int, max_outer: int = 8, max_inner: int = 512):
             return (
                 jnp.bool_(True),
                 voxel,
+                I32(-1),
+                I32(-1),
                 point,
                 point,
                 _impact_normal(bmin, bsize, point),
@@ -183,12 +186,16 @@ def _make_trace_ray(brick_dim: int, max_outer: int = 8, max_inner: int = 512):
             )
             cell_min = bmin + idx.astype(F32) * unit
             normal = _impact_normal(cell_min, unit, p)
-            return hit, v, p, p, normal
+            idxc = jnp.clip(idx, 0, brick_dim - 1)
+            flat = idxc[0] + idxc[1] * brick_dim + idxc[2] * brick_dim * brick_dim
+            return hit, v, desc, flat, p, p, normal
 
         def empty_case(_):
             return (
                 jnp.bool_(False),
                 I32(EMPTY_DESC),
+                I32(-1),
+                I32(-1),
                 point,
                 point,
                 jnp.zeros(3, dtype=F32),
@@ -220,7 +227,8 @@ def _make_trace_ray(brick_dim: int, max_outer: int = 8, max_inner: int = 512):
 
         def inner(carry):
             """One full root-restart pass: run the stack automaton dry."""
-            (point, tsect, hit, voxel, hpoint, hnormal, _restarts) = carry
+            (point, tsect, hit, voxel, hbrick, hcell, hpoint, hnormal,
+             _restarts) = carry
 
             cur_min = jnp.zeros(3, dtype=F32)
             cur_size = size
@@ -233,15 +241,17 @@ def _make_trace_ray(brick_dim: int, max_outer: int = 8, max_inner: int = 512):
             cur_key = I32(0)
 
             st = (point, tsect, tmin, tsize, cur_min, cur_size, cur_key,
-                  stack, head, count, hit, voxel, hpoint, hnormal, I32(0))
+                  stack, head, count, hit, voxel, hbrick, hcell, hpoint,
+                  hnormal, I32(0))
 
             def cond(st):
-                count, hit, it = st[9], st[10], st[14]
+                count, hit, it = st[9], st[10], st[16]
                 return (count > 0) & (~hit) & (it < max_inner)
 
             def body(st):
                 (point, tsect, tmin, tsize, cur_min, cur_size, cur_key,
-                 stack, head, count, hit, voxel, hpoint, hnormal, it) = st
+                 stack, head, count, hit, voxel, hbrick, hcell, hpoint,
+                 hnormal, it) = st
 
                 top = stack[head]
                 occ_lo = tree["node_ocbits"][top, 0]
@@ -259,16 +269,19 @@ def _make_trace_ray(brick_dim: int, max_outer: int = 8, max_inner: int = 512):
                     is_uniform, cur_size, cur_size / BOX_NODE_DIMENSION
                 )
                 do_probe = is_leaf & (tsect < OOB) & (~hit)
-                p_hit, p_voxel, p_point, p_hpoint, p_normal = jax.lax.cond(
+                (p_hit, p_voxel, p_brick, p_cell, p_point, p_hpoint,
+                 p_normal) = jax.lax.cond(
                     do_probe,
                     lambda _: probe_brick(tree, desc, point, dirv, sf, bmin, bsize),
-                    lambda _: (jnp.bool_(False), I32(EMPTY_DESC), point, point,
-                               jnp.zeros(3, dtype=F32)),
+                    lambda _: (jnp.bool_(False), I32(EMPTY_DESC), I32(-1),
+                               I32(-1), point, point, jnp.zeros(3, dtype=F32)),
                     None,
                 )
                 point = p_point
                 hit2 = hit | p_hit
                 voxel = jnp.where(p_hit, p_voxel, voxel)
+                hbrick = jnp.where(p_hit, p_brick, hbrick)
+                hcell = jnp.where(p_hit, p_cell, hcell)
                 hpoint = jnp.where(p_hit, p_hpoint, hpoint)
                 hnormal = jnp.where(p_hit, p_normal, hnormal)
 
@@ -358,12 +371,12 @@ def _make_trace_ray(brick_dim: int, max_outer: int = 8, max_inner: int = 512):
                     None,
                 )
                 return (point2, tsect2, tmin2, tsize2, cur_min2, cur_size2,
-                        cur_key2, stack2, head2, count2, hit2, voxel, hpoint,
-                        hnormal, it + 1)
+                        cur_key2, stack2, head2, count2, hit2, voxel, hbrick,
+                        hcell, hpoint, hnormal, it + 1)
 
             st = jax.lax.while_loop(cond, body, st)
             (point, tsect, _tm, _ts, _cm, _cs, _ck, _stk, _h, _c, hit, voxel,
-             hpoint, hnormal, _it) = st
+             hbrick, hcell, hpoint, hnormal, _it) = st
 
             # restart logic: nudge forward, re-derive sectant
             point = point + dirv * 0.1
@@ -371,17 +384,19 @@ def _make_trace_ray(brick_dim: int, max_outer: int = 8, max_inner: int = 512):
             tsect = jnp.where(
                 hit, I32(OOB), jnp.where(inside, _offset_sectant(point, size), I32(OOB))
             ).astype(I32)
-            return (point, tsect, hit, voxel, hpoint, hnormal, carry[6] + 1)
+            return (point, tsect, hit, voxel, hbrick, hcell, hpoint, hnormal,
+                    carry[8] + 1)
 
         def outer_cond(carry):
-            tsect, hit, restarts = carry[1], carry[2], carry[6]
+            tsect, hit, restarts = carry[1], carry[2], carry[8]
             return (tsect < OOB) & (~hit) & (restarts < max_outer)
 
-        init = (point0, tsect0, jnp.bool_(False), I32(EMPTY_DESC),
-                jnp.zeros(3, dtype=F32), jnp.zeros(3, dtype=F32), I32(0))
+        init = (point0, tsect0, jnp.bool_(False), I32(EMPTY_DESC), I32(-1),
+                I32(-1), jnp.zeros(3, dtype=F32), jnp.zeros(3, dtype=F32),
+                I32(0))
         final = jax.lax.while_loop(outer_cond, lambda c: inner(c), init)
-        _point, _tsect, hit, voxel, hpoint, hnormal, _r = final
-        return hit, voxel, hpoint, hnormal
+        _point, _tsect, hit, voxel, hbrick, hcell, hpoint, hnormal, _r = final
+        return hit, voxel, hbrick, hcell, hpoint, hnormal
 
     return trace_ray
 
@@ -403,7 +418,7 @@ class JaxRenderer:
 
         @jax.jit
         def shade_batch(tree, origins, dirs, bg):
-            hit, voxel, hpoint, hnormal = jax.vmap(
+            hit, voxel, _hb, _hc, hpoint, hnormal = jax.vmap(
                 lambda o, d: self._trace(tree, o, d)
             )(origins, dirs)
             return _shade(tree, hit, voxel, hnormal, bg)
@@ -411,7 +426,8 @@ class JaxRenderer:
         self._shade_batch = shade_batch
 
     def trace(self, origins, directions):
-        """Raw per-ray results: (hit [R], voxel [R], point [R,3], normal [R,3])."""
+        """Raw per-ray results: (hit [R], voxel [R], brick [R], cell [R],
+        point [R,3], normal [R,3])."""
         o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
         d = jnp.asarray(directions, dtype=F32).reshape(-1, 3)
         return self._trace_batch(self.tree, o, d)
