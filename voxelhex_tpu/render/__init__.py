@@ -11,7 +11,7 @@
 
 def fastest_renderer(flat, **kwargs):
     """The fastest available device renderer for this snapshot (the Pallas
-    kernel when present and applicable, else the jitted JAX renderer)."""
-    from voxelhex_tpu.render.jax_renderer import JaxRenderer
+    kernel when present and applicable, else the wavefront renderer)."""
+    from voxelhex_tpu.render.wavefront import WavefrontRenderer
 
-    return JaxRenderer(flat, **kwargs)
+    return WavefrontRenderer(flat, **kwargs)
