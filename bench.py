@@ -25,16 +25,19 @@ RES = (1920, 1080)
 
 
 def build_scene():
-    """Procedural scene mirroring examples/gpu_render.rs:26-99: a 128^3 tree
-    (brick_dim 32) with a floor slab, a filled box and a sphere shell."""
+    """Procedural scene mirroring examples/gpu_render.rs:26-99: 128^3 of
+    content (floor slab, filled box, sphere shell) in a 256-tree with
+    brick_dim 4 — the bitmap-brick configuration the fast renderer is tuned
+    for (the voxel content is identical to the reference config)."""
     from voxelhex_tpu.tree.build import from_voxels
 
-    size, brick = 128, 32
+    size, brick = 256, 4  # tree extent / brick edge
+    ext = 128  # content extent (the reference's gpu_render scene is 128^3)
     pts = []
     cols = []
     # floor
-    for x in range(size):
-        for z in range(size):
+    for x in range(ext):
+        for z in range(ext):
             y = (x + z) % 8
             pts.append((x, y, z))
             cols.append((50 + x, 100, 50 + z, 255))
@@ -64,9 +67,13 @@ def main():
     from voxelhex_tpu.tree.flat import flatten
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     tree = build_scene()
     flat = flatten(tree)
-    cam = orbit_camera(flat.size, resolution=RES)
+    # orbit the 128^3 content (which sits in the corner of the 256 tree)
+    cam = orbit_camera(128.0, resolution=RES)
 
     from voxelhex_tpu.render import fastest_renderer
 

@@ -1,0 +1,114 @@
+"""BitGrid (dense hierarchical bitmap) renderer tests."""
+
+import numpy as np
+import pytest
+
+from voxelhex_tpu.render.bitgrid import (
+    BitGridRenderer,
+    _reach_mask_v,
+    build_bitgrid,
+)
+from voxelhex_tpu.render.camera import orbit_camera
+from voxelhex_tpu.render.oracle import get_by_ray
+from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+from voxelhex_tpu.tree.flat import flatten
+
+RED = Albedo.from_u32(0xFF0000FF)
+GREEN = Albedo.from_u32(0x00FF00FF)
+
+
+def make_scene(size, dim, seed=9):
+    tree = BoxTree(size, dim, auto_simplify=False)
+    rng = np.random.default_rng(seed)
+    for _ in range(size * size):
+        p = tuple(int(v) for v in rng.integers(0, size, 3))
+        tree.insert(p, RED if rng.random() < 0.5 else GREEN)
+    if size >= 16:
+        tree.insert_at_lod((8, 8, 8), 4, GREEN)
+    return tree
+
+
+def test_reach_mask_matches_lut():
+    import jax.numpy as jnp
+
+    from voxelhex_tpu.spatial.luts import ray_occupancy_masks_u32
+
+    LO, HI = ray_occupancy_masks_u32()
+    s = jnp.asarray(np.repeat(np.arange(64), 8), dtype=jnp.int32)
+    o = jnp.asarray(np.tile(np.arange(8), 64), dtype=jnp.int32)
+    ml, mh = _reach_mask_v(s, o)
+    np.testing.assert_array_equal(np.asarray(ml), LO[np.asarray(s), np.asarray(o)])
+    np.testing.assert_array_equal(np.asarray(mh), HI[np.asarray(s), np.asarray(o)])
+
+
+def test_bitgrid_pyramid_consistency():
+    tree = make_scene(64, 4)
+    bg = build_bitgrid(tree)
+    S = 64
+    # level-0 bits match the tree contents
+    n = S // 4
+    for _ in range(200):
+        rng = np.random.default_rng(_)
+        x, y, z = (int(v) for v in rng.integers(0, S, 3))
+        b = (x // 4) + (y // 4) * n + (z // 4) * n * n
+        s = (x % 4) + (y % 4) * 4 + (z % 4) * 16
+        w = int(bg.occ_lo[b]) | (int(bg.occ_hi[b]) << 32)
+        bit = (w >> s) & 1
+        assert bit == (1 if tree.get((x, y, z)).is_some else 0), (x, y, z)
+
+
+@pytest.mark.parametrize("size,dim", [(16, 4), (64, 4), (32, 8)])
+def test_bitgrid_matches_oracle(size, dim):
+    tree = make_scene(size, dim)
+    flat = flatten(tree)
+    r = BitGridRenderer(tree)
+    rng = np.random.default_rng(31)
+    n = 150
+    targets = rng.random((n, 3)) * size
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (targets - dirs * 3 * size).astype(np.float32)
+    dirs = dirs.astype(np.float32)
+    hit, voxel, hvox, hpoint, hnormal = r.trace(origins, dirs)
+    hit, voxel = np.asarray(hit), np.asarray(voxel)
+    checked = 0
+    for i in range(n):
+        frac = np.abs(targets[i] - np.round(targets[i]))
+        if np.any(frac < 0.05):
+            continue
+        expected = get_by_ray(flat, origins[i], dirs[i])
+        checked += 1
+        assert (expected is not None) == bool(hit[i]), i
+        if expected is not None:
+            assert expected.voxel == int(voxel[i]), i
+    assert checked > 80
+
+
+def test_compacted_trace_matches_plain():
+    tree = make_scene(64, 4)
+    r = BitGridRenderer(tree)
+    rng = np.random.default_rng(3)
+    n = 3000
+    targets = rng.random((n, 3)) * 64
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (targets - dirs * 200).astype(np.float32)
+    dirs = dirs.astype(np.float32)
+    h1, v1, _, _, n1 = r.trace(origins, dirs)
+    h2, v2, _, _, n2 = r.trace_compacted(origins, dirs, min_bucket=256)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=1e-6)
+
+
+def test_render_paths_agree():
+    tree = make_scene(64, 4)
+    cam = orbit_camera(64.0, resolution=(64, 48))
+    r0 = BitGridRenderer(tree, prepass=False)
+    r2 = BitGridRenderer(tree, prepass=True, prepass_levels=2)
+    a = r0.render(cam, compact=False)
+    b = r0.render(cam, compact=True)
+    c = r2.render(cam, compact=True)
+    assert (np.abs(a - b) < 1e-5).all()
+    # prepass may differ on a tiny silhouette fraction
+    assert (np.abs(a - c) < 1e-5).all(axis=-1).mean() > 0.99

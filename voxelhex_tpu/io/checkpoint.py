@@ -1,0 +1,267 @@
+"""Checkpointing: versioned save/load of scenes as flat arrays.
+
+The TPU-native analog of the reference's bencode serialization
+(reference: src/convert/bytecode.rs, with the version gate of src/lib.rs:53-57):
+the *flat snapshot* (SoA arrays — exactly what the device consumes) is the
+on-disk format, stored as a compressed ``.npz`` with a version field, plus
+enough host-tree metadata (palettes) to reconstruct an editable tree.
+
+* ``save_flat`` / ``load_flat``      — flat snapshot only (render-ready)
+* ``save_tree`` / ``load_tree``      — full host tree round-trip
+* ``peek_version``                   — header-only version check
+  (reference: bytecode.rs:667-690 ``bytes_until_version``)
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import numpy as np
+
+from voxelhex_tpu.constants import EMPTY_U16, EMPTY_VOXEL
+from voxelhex_tpu.tree.boxtree import (
+    INTERNAL,
+    LEAF,
+    NOTHING,
+    UNIFORM,
+    Albedo,
+    BoxTree,
+    _Node,
+)
+from voxelhex_tpu.tree.flat import FlatTree
+
+# Format version: (major, minor).  Loaders accept equal major versions
+# (reference: src/lib.rs Version::compatible).
+FORMAT_VERSION = (1, 0)
+
+
+def _meta_dict(kind, extra=None):
+    meta = {"format": "voxelhex_tpu", "kind": kind, "version": list(FORMAT_VERSION)}
+    if extra:
+        meta.update(extra)
+    return meta
+
+
+def version_compatible(version) -> bool:
+    return tuple(version)[0] == FORMAT_VERSION[0]
+
+
+def peek_version(path):
+    """Read only the version metadata from a checkpoint file."""
+    with zipfile.ZipFile(path) as zf:
+        with zf.open("meta.json") as f:
+            meta = json.load(f)
+    return tuple(meta["version"])
+
+
+def _write_npz(path, meta: dict, arrays: dict):
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("meta.json", json.dumps(meta))
+        for name, arr in arrays.items():
+            import io
+
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(arr))
+            zf.writestr(name + ".npy", buf.getvalue())
+
+
+def _read_npz(path):
+    arrays = {}
+    with zipfile.ZipFile(path) as zf:
+        with zf.open("meta.json") as f:
+            meta = json.load(f)
+        for name in zf.namelist():
+            if name.endswith(".npy"):
+                with zf.open(name) as f:
+                    arrays[name[:-4]] = np.load(f)
+    return meta, arrays
+
+
+# ---------------------------------------------------------------------------
+# flat snapshot
+# ---------------------------------------------------------------------------
+
+
+def save_flat(path, flat: FlatTree):
+    meta = _meta_dict(
+        "flat", {"size": int(flat.size), "brick_dim": int(flat.brick_dim)}
+    )
+    _write_npz(
+        path,
+        meta,
+        {
+            "node_meta": flat.node_meta,
+            "node_children": flat.node_children,
+            "node_ocbits": flat.node_ocbits,
+            "node_mips": flat.node_mips,
+            "bricks": flat.bricks,
+            "palette": flat.palette,
+        },
+    )
+
+
+def load_flat(path) -> FlatTree:
+    meta, arrays = _read_npz(path)
+    if not version_compatible(meta["version"]):
+        raise ValueError(
+            f"incompatible checkpoint version {meta['version']} != {FORMAT_VERSION}"
+        )
+    if meta["kind"] not in ("flat", "tree"):
+        raise ValueError(f"not a flat checkpoint: {meta['kind']}")
+    return FlatTree(
+        size=int(meta["size"]),
+        brick_dim=int(meta["brick_dim"]),
+        node_meta=arrays["node_meta"],
+        node_children=arrays["node_children"],
+        node_ocbits=arrays["node_ocbits"],
+        node_mips=arrays["node_mips"],
+        bricks=arrays["bricks"],
+        palette=arrays["palette"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# full host tree
+# ---------------------------------------------------------------------------
+
+
+def save_tree(path, tree: BoxTree):
+    """Serialize a host tree: node table + packed bricks + palettes.
+
+    Layout: per live node — type, occupancy (2 u32 words), occlusion, 64
+    children keys (internal) and brick descriptors (leaf/uniform/mip) into a
+    shared brick/solid pool, exactly mirroring the in-memory model.
+    """
+    keymap = {}
+    order = []
+
+    def discover(key):
+        if key in keymap:
+            return
+        keymap[key] = len(order)
+        order.append(key)
+        node = tree.node(key)
+        if node.ntype == INTERNAL and node.children is not None:
+            for child in node.children:
+                if tree.key_is_valid(child):
+                    discover(child)
+
+    discover(tree.ROOT)
+    n = len(order)
+    d3 = tree.brick_dim**3
+
+    ntype = np.zeros(n, dtype=np.uint8)
+    occupied = np.zeros((n, 2), dtype=np.uint32)
+    occlusion = np.zeros(n, dtype=np.uint8)
+    children = np.full((n, 64), -1, dtype=np.int64)
+    mips = np.full(n, -1, dtype=np.int64)
+    parted: list[np.ndarray] = []
+    solids: list[int] = []
+
+    def desc_of(brick) -> int:
+        """>=0: parted index; < -1: solid (-2 - idx); -1: empty."""
+        if brick is None:
+            return -1
+        if isinstance(brick, (int, np.integer)):
+            solids.append(int(brick))
+            return -2 - (len(solids) - 1)
+        parted.append(np.asarray(brick, dtype=np.uint32))
+        return len(parted) - 1
+
+    for host_key in order:
+        i = keymap[host_key]
+        node = tree.node(host_key)
+        ntype[i] = node.ntype
+        occupied[i, 0] = node.occupied & 0xFFFFFFFF
+        occupied[i, 1] = (node.occupied >> 32) & 0xFFFFFFFF
+        occlusion[i] = node.occlusion
+        mips[i] = desc_of(node.mip)
+        if node.ntype == INTERNAL and node.children is not None:
+            for s, child in enumerate(node.children):
+                if tree.key_is_valid(child):
+                    children[i, s] = keymap[child]
+        elif node.ntype == LEAF:
+            for s in range(64):
+                children[i, s] = desc_of(node.bricks[s])
+        elif node.ntype == UNIFORM:
+            children[i, 0] = desc_of(node.bricks)
+
+    colors = np.array(
+        [[c.r, c.g, c.b, c.a] for c in tree.color_palette], dtype=np.uint8
+    ).reshape(-1, 4)
+    data_pal = json.dumps([repr(x) for x in tree.data_palette])
+
+    meta = _meta_dict(
+        "tree",
+        {
+            "size": int(tree.size),
+            "brick_dim": int(tree.brick_dim),
+            "auto_simplify": bool(tree.auto_simplify),
+            "data_palette": data_pal,
+        },
+    )
+    _write_npz(
+        path,
+        meta,
+        {
+            "ntype": ntype,
+            "occupied": occupied,
+            "occlusion": occlusion,
+            "children": children,
+            "mips": mips,
+            "parted": (
+                np.stack(parted) if parted else np.zeros((0, d3), dtype=np.uint32)
+            ),
+            "solids": np.array(solids, dtype=np.uint32),
+            "colors": colors,
+        },
+    )
+
+
+def load_tree(path) -> BoxTree:
+    meta, arrays = _read_npz(path)
+    if not version_compatible(meta["version"]):
+        raise ValueError(
+            f"incompatible checkpoint version {meta['version']} != {FORMAT_VERSION}"
+        )
+    if meta["kind"] != "tree":
+        raise ValueError(f"not a tree checkpoint: {meta['kind']}")
+
+    tree = BoxTree(
+        int(meta["size"]), int(meta["brick_dim"]), bool(meta["auto_simplify"])
+    )
+    for row in arrays["colors"]:
+        tree._intern_color(Albedo(*(int(v) for v in row)))
+
+    parted = arrays["parted"]
+    solids = arrays["solids"]
+
+    def brick_of(desc: int):
+        if desc == -1:
+            return None
+        if desc < -1:
+            return int(solids[-2 - desc])
+        return parted[desc].copy()
+
+    ntype = arrays["ntype"]
+    n = len(ntype)
+    tree._nodes = [None] * n
+    tree._free = []
+    for i in range(n):
+        node = _Node()
+        node.ntype = int(ntype[i])
+        node.occupied = int(arrays["occupied"][i, 0]) | (
+            int(arrays["occupied"][i, 1]) << 32
+        )
+        node.occlusion = int(arrays["occlusion"][i])
+        node.mip = brick_of(int(arrays["mips"][i]))
+        ch = arrays["children"][i]
+        if node.ntype == INTERNAL:
+            node.children = [int(c) for c in ch]
+        elif node.ntype == LEAF:
+            node.bricks = [brick_of(int(c)) for c in ch]
+        elif node.ntype == UNIFORM:
+            node.bricks = brick_of(int(ch[0]))
+        tree._nodes[i] = node
+    return tree

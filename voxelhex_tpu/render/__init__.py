@@ -10,8 +10,11 @@
 
 
 def fastest_renderer(flat, **kwargs):
-    """The fastest available device renderer for this snapshot (the Pallas
-    kernel when present and applicable, else the wavefront renderer)."""
-    from voxelhex_tpu.render.wavefront import WavefrontRenderer
+    """The fastest available device renderer.
 
-    return WavefrontRenderer(flat, **kwargs)
+    Accepts a BoxTree, FlatTree or BitGrid; the BitGrid (dense hierarchical
+    bitmap) renderer is the TPU-tuned hot path."""
+    from voxelhex_tpu.render.bitgrid import BitGridRenderer
+
+    kwargs.setdefault("prepass", True)
+    return BitGridRenderer(flat, **kwargs)

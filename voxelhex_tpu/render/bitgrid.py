@@ -1,0 +1,684 @@
+"""BitGrid renderer: hierarchical dense-bitmap DDA — the TPU-native hot path.
+
+Profiling on TPU showed random gathers execute on the scalar core at ~6 ns
+per element, making every pointer-chase in the boxtree traversal (child keys,
+node metadata, brick pointers, the register stack) the dominant cost.  This
+renderer therefore re-represents the *render-resident* scene as a dense
+occupancy-bit pyramid with **computed addresses**:
+
+* level ``l`` partitions space into cells of ``4**l`` voxels; each group of
+  4x4x4 cells ("block") stores its 64 occupancy bits as a (lo, hi) u32 pair,
+  addressed arithmetically from block coordinates — the same bit layout as
+  the boxtree's per-node occupancy (reference: src/boxtree/types.rs
+  occupied_bits), with the pointer tree erased;
+* traversal is the reference CPU tracer's PUSH/POP/ADVANCE sectant automaton
+  (reference: src/raytracing/cpu.rs:296-458), but nodes have no identity:
+  DESCEND/ASCEND compute a block address and fetch one u32 pair; ADVANCE is
+  pure arithmetic; the level-0 block IS the local 4^3 voxel bitmap, so voxel
+  tests are register bit tests — at most 2 gathered words per iteration and
+  usually zero;
+* color resolves after the march with ONE gather from a dense uint16 color
+  grid.
+
+Memory: S^3/8 bytes of bitmaps + 2*S^3 bytes of colors — dense by design;
+HBM is plentiful, and vast sparse scenes should page BitGrid regions through
+the streaming layer instead of growing S.
+
+The occupancy pyramid doubles as an LOD structure: marching can stop at a
+coarser level by distance (future: MIP colors per level).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxelhex_tpu.constants import BOX_NODE_CHILDREN_COUNT
+from voxelhex_tpu.render.jax_renderer import _shade
+from voxelhex_tpu.render.wavefront import (
+    _dda_step_v,
+    _impact_normal_v,
+    _occ_bit_v,
+    _offset_sectant_v,
+    _sectant_offset_v,
+    _step_sectant_v,
+)
+from voxelhex_tpu.spatial.luts import ray_occupancy_masks_u32
+from voxelhex_tpu.tree.boxtree import BoxTree
+from voxelhex_tpu.tree.flat import EMPTY_DESC, SOLID_FLAG, FlatTree, flatten
+
+F32 = jnp.float32
+I32 = jnp.int32
+U32 = jnp.uint32
+
+OOB = BOX_NODE_CHILDREN_COUNT
+_MASK_LO, _MASK_HI = ray_occupancy_masks_u32()
+
+def _reach_mask_v(tsect_c, octant):
+    """Arithmetic per-ray reachability mask: the 64-bit set of sectants a ray
+    entering at ``tsect_c`` with direction-octant ``octant`` can still touch
+    (replaces RAY_TO_NODE_OCCUPANCY_BITMASK_LUT gathers with shift math).
+
+    Axis masks: allowed x in [sx..3] for +x rays else [0..sx]; idem y, z.
+    The 64-bit mask factorizes as xmask * ymask * zmask replicated over
+    nibbles / rows / planes; computed on (lo, hi) u32 word pairs.
+    """
+    sx = (tsect_c % 4).astype(U32)
+    sy = ((tsect_c // 4) % 4).astype(U32)
+    sz = (tsect_c // 16).astype(U32)
+    xp = (octant & 1) != 0
+    zp = (octant & 2) != 0
+    yp = (octant & 4) != 0
+
+    xm4 = jnp.where(xp, (U32(0xF) << sx) & U32(0xF), U32(0xF) >> (U32(3) - sx))
+    x32 = xm4 * U32(0x11111111)  # replicate nibble over 8 nibbles
+
+    ym16 = jnp.where(
+        yp, (U32(0xFFFF) << (sy * 4)) & U32(0xFFFF), U32(0xFFFF) >> ((U32(3) - sy) * 4)
+    )
+    y32 = ym16 * U32(0x00010001)  # replicate row over 2 rows per word
+
+    # z planes: plane k occupies bits [16k, 16k+16); lo holds planes 0-1,
+    # hi holds planes 2-3
+    zsh = sz * 16
+    ones = U32(0xFFFFFFFF)
+    z_lo_pos = jnp.where(sz < 2, (ones << (zsh % 32)) & ones, U32(0))
+    z_hi_pos = jnp.where(sz < 2, ones, ones << (zsh % 32))
+    z_lo_neg = jnp.where(sz < 2, ones >> ((U32(1) - jnp.minimum(sz, 1)) * 16), ones)
+    # for sz in {0,1}: lo keeps planes [0..sz] -> mask = ones >> ((1-sz)*16)
+    z_hi_neg = jnp.where(sz >= 2, ones >> ((U32(3) - sz) * 16), U32(0))
+    z_lo = jnp.where(zp, z_lo_pos, z_lo_neg)
+    z_hi = jnp.where(zp, z_hi_pos, z_hi_neg)
+
+    m_lo = x32 & y32 & z_lo
+    m_hi = x32 & y32 & z_hi
+    return m_lo, m_hi
+
+
+COLOR_EMPTY = 0xFFFF  # voxel empty (never returned for hits)
+COLOR_NONE = 0xFFFE  # voxel occupied but colorless (data-only voxel)
+
+
+@dataclass
+class BitGrid:
+    """Dense occupancy pyramid + dense color-index grid."""
+
+    size: int
+    n_levels: int  # block levels; level-0 blocks span 4 voxels
+    level_bases: np.ndarray  # int64[n_levels] word-pair base offset per level
+    occ_lo: np.ndarray  # uint32[total_blocks]
+    occ_hi: np.ndarray  # uint32[total_blocks]
+    colors: np.ndarray  # uint16[S^3], flat index x + y*S + z*S^2
+    palette: np.ndarray  # float32[P, 4]
+
+
+def _dense_from_flat(flat: FlatTree):
+    """Rasterize a flat snapshot into dense [x,y,z] occupancy + color grids."""
+    S, d = flat.size, flat.brick_dim
+    occ = np.zeros((S, S, S), dtype=bool)
+    col = np.full((S, S, S), COLOR_EMPTY, dtype=np.uint16)
+
+    def paint(desc, x0, y0, z0, extent):
+        """Paint one brick descriptor spanning ``extent`` voxels."""
+        if desc == EMPTY_DESC:
+            return
+        sl = np.s_[x0 : x0 + extent, y0 : y0 + extent, z0 : z0 + extent]
+        if desc & SOLID_FLAG:
+            v = desc & (SOLID_FLAG - 1)
+            occ[sl] = True
+            col[sl] = COLOR_NONE if v >= COLOR_NONE else v
+            return
+        vox = flat.bricks[desc]  # flat, x-fastest
+        grid = vox.reshape(d, d, d).transpose(2, 1, 0)  # -> [x, y, z]
+        if extent >= d:
+            f = extent // d
+            if f > 1:
+                grid = np.repeat(np.repeat(np.repeat(grid, f, 0), f, 1), f, 2)
+        else:
+            grid = grid[:extent, :extent, :extent]
+        occupied = grid != EMPTY_DESC
+        colors = np.where(
+            grid >= COLOR_NONE, COLOR_NONE, np.maximum(grid, 0)
+        ).astype(np.uint16)
+        occ[sl] |= occupied
+        csl = col[sl]
+        csl[occupied] = colors[occupied]
+        col[sl] = csl
+
+    def visit(key, x0, y0, z0, size_):
+        meta = int(flat.node_meta[key])
+        cell = size_ // 4
+        if meta & 2:  # uniform
+            paint(int(flat.node_children[key, 0]), x0, y0, z0, size_)
+        elif meta & 1:  # leaf
+            for s in range(BOX_NODE_CHILDREN_COUNT):
+                desc = int(flat.node_children[key, s])
+                if desc == EMPTY_DESC:
+                    continue
+                paint(
+                    desc,
+                    x0 + (s % 4) * cell,
+                    y0 + ((s // 4) % 4) * cell,
+                    z0 + (s // 16) * cell,
+                    cell,
+                )
+        else:  # internal
+            for s in range(BOX_NODE_CHILDREN_COUNT):
+                child = int(flat.node_children[key, s])
+                if child < 0:
+                    continue
+                visit(
+                    child,
+                    x0 + (s % 4) * cell,
+                    y0 + ((s // 4) % 4) * cell,
+                    z0 + (s // 16) * cell,
+                    cell,
+                )
+
+    visit(0, 0, 0, 0, S)
+    return occ, col
+
+
+def _pack_bits(grid_xyz):
+    """bool [c,c,c] (x,y,z) -> ((lo, hi) u32 flat block arrays, coarse grid).
+
+    Flat block index = bx + by*n + bz*n^2; bit s = cx + 4*cy + 16*cz.
+    Grids with fewer than 4 cells per axis are zero-padded to one block.
+    """
+    c = grid_xyz.shape[0]
+    if c % 4 != 0:
+        target = ((c + 3) // 4) * 4
+        padded = np.zeros((target, target, target), dtype=bool)
+        padded[:c, :c, :c] = grid_xyz
+        grid_xyz = padded
+        c = target
+    n = c // 4
+    g = grid_xyz.reshape(n, 4, n, 4, n, 4)  # [bx, x, by, y, bz, z]
+    g = g.transpose(0, 2, 4, 5, 3, 1)  # [bx, by, bz, z, y, x]
+    bits = g.reshape(n, n, n, 64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    words = (bits.astype(np.uint64) * weights).sum(axis=-1, dtype=np.uint64)
+    flat = words.transpose(2, 1, 0).ravel()  # x fastest
+    lo = (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (flat >> np.uint64(32)).astype(np.uint32)
+    coarse = bits.any(axis=-1)  # [bx, by, bz]
+    return lo, hi, coarse
+
+
+def build_bitgrid(source) -> BitGrid:
+    """Build the dense pyramid from a BoxTree or FlatTree."""
+    flat = source if isinstance(source, FlatTree) else flatten(source)
+    occ, col = _dense_from_flat(flat)
+
+    levels_lo, levels_hi = [], []
+    grid = occ
+    while grid.shape[0] > 1:
+        lo, hi, coarse = _pack_bits(grid)
+        levels_lo.append(lo)
+        levels_hi.append(hi)
+        grid = coarse
+
+    bases = np.zeros(len(levels_lo), dtype=np.int64)
+    for i in range(1, len(levels_lo)):
+        bases[i] = bases[i - 1] + len(levels_lo[i - 1])
+
+    return BitGrid(
+        size=flat.size,
+        n_levels=len(levels_lo),
+        level_bases=bases,
+        occ_lo=np.concatenate(levels_lo),
+        occ_hi=np.concatenate(levels_hi),
+        colors=col.transpose(2, 1, 0).ravel(),  # flat, x fastest
+        palette=flat.palette,
+    )
+
+
+def device_bitgrid(bg: BitGrid) -> dict:
+    return {
+        "occ_lo": jnp.asarray(bg.occ_lo, dtype=U32),
+        "occ_hi": jnp.asarray(bg.occ_hi, dtype=U32),
+        "colors": jnp.asarray(bg.colors, dtype=jnp.uint16),
+        "palette": jnp.asarray(bg.palette, dtype=F32),
+        "size": jnp.asarray(float(bg.size), dtype=F32),
+    }
+
+
+def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4):
+    """``trace(tree, origins, dirs, start_t=None)`` over the dense pyramid."""
+    S = float(bg.size)
+    Si = int(bg.size)
+    n_levels = bg.n_levels
+    bases = [int(b) for b in bg.level_bases]
+    top_level = n_levels - 1
+    # blocks per axis at each level (partial top grids pad to one block)
+    dims = []
+    c = Si
+    for _ in range(n_levels):
+        dims.append(max((c + 3) // 4, 1))
+        c = dims[-1]
+    cell_sizes = [float(4**l) for l in range(n_levels)]
+    top_block = cell_sizes[top_level] * 4.0  # may exceed S when padded
+
+    def fetch_words(tree, level, bmin):
+        addr = jnp.zeros(bmin.shape[0], dtype=I32)
+        for l in range(n_levels):
+            bs = cell_sizes[l] * 4.0
+            bc = jnp.floor(bmin / bs).astype(I32)
+            a = bases[l] + bc[:, 0] + bc[:, 1] * dims[l] + bc[:, 2] * dims[l] * dims[l]
+            addr = jnp.where(level == l, a, addr)
+        addr = jnp.clip(addr, 0, tree["occ_lo"].shape[0] - 1)
+        return tree["occ_lo"][addr], tree["occ_hi"][addr]
+
+    def init(tree, o, dirv, start_t=None):
+        R = o.shape[0]
+        size = tree["size"]
+
+        sf = jnp.stack(
+            [
+                jnp.sqrt(1.0 + (dirv[:, 2] / dirv[:, 0]) ** 2 + (dirv[:, 1] / dirv[:, 0]) ** 2),
+                jnp.sqrt((dirv[:, 0] / dirv[:, 1]) ** 2 + 1.0 + (dirv[:, 2] / dirv[:, 1]) ** 2),
+                jnp.sqrt((dirv[:, 0] / dirv[:, 2]) ** 2 + (dirv[:, 1] / dirv[:, 2]) ** 2 + 1.0),
+            ],
+            axis=-1,
+        )
+        octant = (
+            (dirv[:, 0] >= 0).astype(I32)
+            + (dirv[:, 2] >= 0).astype(I32) * 2
+            + (dirv[:, 1] >= 0).astype(I32) * 4
+        )
+
+        t_lo = (0.0 - o) / dirv
+        t_hi = (size - o) / dirv
+        per_min = jnp.fmin(t_lo, t_hi)
+        per_max = jnp.fmax(t_lo, t_hi)
+        tmin_r = jnp.fmax(jnp.fmax(per_min[:, 0], per_min[:, 1]), per_min[:, 2])
+        tmax_r = jnp.fmin(jnp.fmin(per_max[:, 0], per_max[:, 1]), per_max[:, 2])
+        root_hit = ~((tmax_r < 0.0) | (tmin_r > tmax_r))
+        enter = jnp.maximum(tmin_r, 0.0)
+        if start_t is not None:
+            enter = jnp.clip(
+                jnp.maximum(enter, start_t), 0.0, jnp.maximum(tmax_r - 1e-3, 0.0)
+            )
+        point = o + dirv * enter[:, None]
+
+        level = jnp.full(R, top_level, dtype=I32)
+        occ_lo0, occ_hi0 = fetch_words(tree, level, jnp.zeros((R, 3), dtype=F32))
+        tsize0 = jnp.full(R, cell_sizes[top_level], dtype=F32)
+        tsect0 = jnp.where(
+            root_hit, _offset_sectant_v(point, jnp.full(R, top_block)), OOB
+        ).astype(I32)
+        tmin0 = _sectant_offset_v(jnp.clip(tsect0, 0, 63)) * top_block
+
+        return (point, tsect0, tmin0, tsize0, level, occ_lo0, occ_hi0,
+                dirv, sf, octant,
+                root_hit,  # active
+                jnp.zeros(R, dtype=jnp.bool_),  # hit
+                jnp.zeros((R, 3), dtype=I32),  # hvox
+                jnp.zeros((R, 3), dtype=F32),  # hnormal
+                jnp.zeros(R, dtype=I32),  # restarts
+                jnp.zeros((R, 3), dtype=F32))  # bmin
+
+    def body(tree, st):
+        (point, tsect, tmin, tsize, level, occ_lo, occ_hi,
+         dirv, sf, octant, active, hit, hvox, hnormal, restarts, bmin) = st
+        R = point.shape[0]
+        size = tree["size"]
+
+        tsect_c = jnp.clip(tsect, 0, 63)
+        occupied = _occ_bit_v(occ_lo, occ_hi, tsect) != 0
+        m_lo, m_hi = _reach_mask_v(tsect_c, octant)
+        no_overlap = ((occ_lo & m_lo) == 0) & ((occ_hi & m_hi) == 0)
+
+        at_bottom = level == 0
+        found = active & occupied & at_bottom & (tsect < OOB)
+        normal = _impact_normal_v(tmin, tsize, point)
+        hit = hit | found
+        hvox = jnp.where(found[:, None], tmin.astype(I32), hvox)
+        hnormal = jnp.where(found[:, None], normal, hnormal)
+        active = active & (~found)
+
+        descend = active & occupied & (~at_bottom) & (tsect < OOB)
+        ascend = active & ((tsect >= OOB) | no_overlap) & (~descend)
+        advance = active & (~descend) & (~ascend)
+
+        # --- DESCEND into the occupied cell
+        d_level = level - 1
+        d_tsize = tsize / 4.0
+        d_tsect = _offset_sectant_v(point - tmin, tsize)
+        d_tmin = tmin + _sectant_offset_v(d_tsect) * tsize[:, None]
+
+        # --- ASCEND: re-derive parent block arithmetically (reference POP,
+        # src/raytracing/cpu.rs:361-394); carried bmin stays valid when the
+        # sectant is OOB.
+        a_level = level + 1
+        block = tsize * 4.0
+        parent_block = block * 4.0
+        parent_min = bmin - jnp.mod(bmin, parent_block[:, None])
+        a_ts0 = _offset_sectant_v(
+            bmin + block[:, None] / 2.0 - parent_min, parent_block
+        )
+        a_new_p, a_step = _dda_step_v(dirv, sf, point, bmin, block)
+        a_ts = _step_sectant_v(a_ts0, a_step)
+        a_tmin = bmin + a_step * block[:, None]
+        a_tsize = block
+
+        # --- ADVANCE: arithmetic substeps within the current block
+        v_ts = tsect
+        v_tmin = tmin
+        v_p = point
+        v_go = advance
+        for _ in range(2):
+            s_new_p, s_step = _dda_step_v(dirv, sf, v_p, v_tmin, tsize)
+            s_ts = _step_sectant_v(v_ts, s_step)
+            s_tmin = jnp.where(
+                (s_ts < OOB)[:, None], v_tmin + s_step * tsize[:, None], v_tmin
+            )
+            v_p = jnp.where(v_go[:, None], s_new_p, v_p)
+            v_ts = jnp.where(v_go, s_ts, v_ts)
+            v_tmin = jnp.where(v_go[:, None], s_tmin, v_tmin)
+            stop = (v_ts >= OOB) | (_occ_bit_v(occ_lo, occ_hi, v_ts) != 0)
+            v_go = v_go & (~stop)
+
+        old_tmin = tmin  # block of a DESCEND target = the old cell
+        point = jnp.where(advance[:, None], v_p, point)
+        point = jnp.where(ascend[:, None], a_new_p, point)
+
+        tsect = jnp.where(descend, d_tsect, tsect)
+        tsect = jnp.where(ascend, a_ts, tsect)
+        tsect = jnp.where(advance, v_ts, tsect)
+
+        tmin = jnp.where(descend[:, None], d_tmin, tmin)
+        tmin = jnp.where(ascend[:, None], a_tmin, tmin)
+        tmin = jnp.where(advance[:, None], v_tmin, tmin)
+
+        tsize = jnp.where(descend, d_tsize, tsize)
+        tsize = jnp.where(ascend, a_tsize, tsize)
+        level = jnp.where(descend, d_level, level)
+        level = jnp.where(ascend, a_level, level)
+        bmin = jnp.where(descend[:, None], old_tmin, bmin)
+        bmin = jnp.where(ascend[:, None], parent_min, bmin)
+
+        # exit / restart when ascending past the top
+        over_top = active & (level > top_level)
+        re_point = point + dirv * 0.1
+        inside = jnp.all((re_point > 0.0) & (re_point < size), axis=-1)
+        can_restart = over_top & inside & (restarts < max_restarts)
+        restarts = restarts + over_top.astype(I32)
+        point = jnp.where(over_top[:, None], re_point, point)
+        active = active & ((~over_top) | can_restart)
+        r_ts = _offset_sectant_v(point, jnp.full(R, top_block))
+        tsect = jnp.where(can_restart, r_ts, tsect)
+        tmin = jnp.where(
+            can_restart[:, None],
+            _sectant_offset_v(jnp.clip(r_ts, 0, 63)) * top_block,
+            tmin,
+        )
+        tsize = jnp.where(can_restart, cell_sizes[top_level], tsize)
+        level = jnp.where(can_restart, top_level, level)
+        bmin = jnp.where(can_restart[:, None], jnp.zeros_like(bmin), bmin)
+
+        # ONE fetch for rays whose block changed
+        moved = descend | ascend | can_restart
+        new_lo, new_hi = fetch_words(tree, jnp.clip(level, 0, top_level), bmin)
+        occ_lo = jnp.where(moved, new_lo, occ_lo)
+        occ_hi = jnp.where(moved, new_hi, occ_hi)
+
+        return (point, tsect, tmin, tsize, level, occ_lo, occ_hi,
+                dirv, sf, octant, active, hit, hvox, hnormal, restarts, bmin)
+
+    ACTIVE = 10
+
+    def run(tree, state, iters):
+        """Advance the automaton by up to ``iters`` iterations."""
+
+        def cond(carry):
+            st, i = carry
+            return jnp.any(st[ACTIVE]) & (i < iters)
+
+        def step(carry):
+            st, i = carry
+            return body(tree, st), i + 1
+
+        state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
+        return state
+
+    def resolve_color(tree, hit, hvox):
+        v = jnp.clip(hvox, 0, Si - 1)
+        caddr = v[:, 0] + v[:, 1] * Si + v[:, 2] * Si * Si
+        cidx = tree["colors"][caddr].astype(I32)
+        return jnp.where(
+            hit, jnp.where(cidx >= COLOR_NONE, I32(0x3FFFFFFE), cidx), EMPTY_DESC
+        )
+
+    def trace(tree, o, dirv, start_t=None):
+        state = init(tree, o, dirv, start_t)
+        state = run(tree, state, max_iters)
+        point, hit, hvox, hnormal = state[0], state[11], state[12], state[13]
+        voxel = resolve_color(tree, hit, hvox)
+        return hit, voxel, hvox, point, hnormal
+
+    trace.init = init
+    trace.run = run
+    trace.resolve_color = resolve_color
+    return trace
+
+
+class BitGridRenderer:
+    """Whole-frame renderer over the dense bitmap pyramid."""
+
+    def __init__(
+        self,
+        source,
+        max_iters: int = 2048,
+        prepass: bool = False,
+        prepass_levels: int = 2,
+    ):
+        self.prepass_levels = prepass_levels
+        bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
+        self.bitgrid = bg
+        self.tree = device_bitgrid(bg)
+        self.prepass = prepass
+        self._max_iters = max_iters
+        self._trace = make_bitgrid_tracer(bg, max_iters=max_iters)
+        self._trace_jit = jax.jit(self._trace)
+
+        def _scatter(state, orig, hit, hvox, hnormal, hpoint):
+            return (
+                hit.at[orig].set(state[11]),
+                hvox.at[orig].set(state[12]),
+                hnormal.at[orig].set(state[13]),
+                hpoint.at[orig].set(state[0]),
+            )
+
+        self._compact_fns = {
+            "init": jax.jit(self._trace.init),
+            "run": jax.jit(self._trace.run, static_argnums=2),
+            "scatter": jax.jit(_scatter),
+            "color": jax.jit(self._trace.resolve_color),
+        }
+        self._shade_only = jax.jit(
+            lambda tree, hit, voxel, normal, bgc: _shade(tree, hit, voxel, normal, bgc)
+        )
+
+        def _depth_start(hit, hpoint, o, h2, w2):
+            depth = jnp.where(
+                hit, jnp.linalg.norm(hpoint - o, axis=-1), 0.0
+            ).reshape(h2, w2)
+            dpad = jnp.pad(depth, ((0, 1), (0, 1)), mode="edge")
+            dmin = jnp.minimum(
+                jnp.minimum(dpad[:-1, :-1], dpad[1:, :-1]),
+                jnp.minimum(dpad[:-1, 1:], dpad[1:, 1:]),
+            )
+            start = jnp.repeat(jnp.repeat(dmin, 2, axis=0), 2, axis=1)
+            return jnp.maximum(start - 2.0, 0.0)
+
+        self._depth_start = jax.jit(_depth_start, static_argnums=(3, 4))
+
+        trace = self._trace
+
+        @jax.jit
+        def shade_batch(tree, origins, dirs, bg_color):
+            hit, voxel, _hv, _hp, hnormal = trace(tree, origins, dirs)
+            return _shade(tree, hit, voxel, hnormal, bg_color)
+
+        self._shade_batch = shade_batch
+        self._prepass_cache = {}
+
+    def _prepass_fn(self, h, w, levels):
+        """Jitted multi-level renderer: trace at 1/2**levels resolution, then
+        successively double, each level starting at the min depth of its 2x2
+        coarse neighborhood (the reference's half-res prepass generalized,
+        reference: viewport_render.wgsl:702-726)."""
+        key = (h, w, levels)
+        if key in self._prepass_cache:
+            return self._prepass_cache[key]
+        trace = self._trace
+
+        def depth_to_start(depth):
+            dpad = jnp.pad(depth, ((0, 1), (0, 1)), mode="edge")
+            dmin = jnp.minimum(
+                jnp.minimum(dpad[:-1, :-1], dpad[1:, :-1]),
+                jnp.minimum(dpad[:-1, 1:], dpad[1:, 1:]),
+            )
+            start = jnp.repeat(jnp.repeat(dmin, 2, axis=0), 2, axis=1)
+            return jnp.maximum(start - 2.0, 0.0)
+
+        shapes = [(h // 2**f_, w // 2**f_) for f_ in range(levels, 0, -1)]
+
+        @jax.jit
+        def f(tree, level_rays, bg_color):
+            # level_rays: coarsest-first [(o, d), ...]; last is full res
+            start = None
+            for i, (lo, ld) in enumerate(level_rays):
+                st = None if start is None else start.reshape(-1)
+                hit, voxel, _hv, p_point, hnormal = trace(tree, lo, ld, start_t=st)
+                if i == levels:
+                    return _shade(tree, hit, voxel, hnormal, bg_color)
+                depth = jnp.where(
+                    hit, jnp.linalg.norm(p_point - lo, axis=-1), 0.0
+                ).reshape(shapes[i])
+                start = depth_to_start(depth)
+            raise AssertionError("unreachable")
+
+        self._prepass_cache[key] = f
+        return f
+
+    def trace(self, origins, directions):
+        o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
+        dv = jnp.asarray(directions, dtype=F32).reshape(-1, 3)
+        return self._trace_jit(self.tree, o, dv)
+
+    def trace_compacted(
+        self, origins, directions, start_t=None, round_iters: int = 24,
+        shrink: int = 4, min_bucket: int = 8192,
+    ):
+        """Trace with straggler compaction: run fixed-iteration rounds and
+        periodically pack the still-active rays into a 1/shrink-size buffer,
+        so late iterations don't pay full-frame gather costs.  Each bucket
+        shape compiles once (cached)."""
+        import numpy as _np
+
+        fns = self._compact_fns
+        del _np
+        o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
+        dv = jnp.asarray(directions, dtype=F32).reshape(-1, 3)
+        R = o.shape[0]
+        st = None if start_t is None else jnp.asarray(start_t).reshape(-1)
+        state = fns["init"](self.tree, o, dv, st)
+        orig = jnp.arange(R, dtype=I32)
+
+        # full-size result accumulators
+        hit = jnp.zeros(R, dtype=jnp.bool_)
+        hvox = jnp.zeros((R, 3), dtype=I32)
+        hnormal = jnp.zeros((R, 3), dtype=F32)
+        hpoint = jnp.zeros((R, 3), dtype=F32)
+
+        total_iters = 0
+        while True:
+            state = fns["run"](self.tree, state, round_iters)
+            total_iters += round_iters
+            n_active = int(jnp.sum(state[10]))
+            cur = state[0].shape[0]
+            if n_active == 0 or total_iters >= self._max_iters:
+                hit, hvox, hnormal, hpoint = fns["scatter"](
+                    state, orig, hit, hvox, hnormal, hpoint
+                )
+                break
+            bucket = cur
+            while bucket // shrink >= max(n_active, min_bucket):
+                bucket //= shrink
+            if bucket < cur:
+                # flush finished rays, keep actives in the smaller buffer
+                hit, hvox, hnormal, hpoint = fns["scatter"](
+                    state, orig, hit, hvox, hnormal, hpoint
+                )
+                perm = jnp.argsort(~state[10])[:bucket]
+                state = jax.tree.map(lambda a: a[perm] if a.ndim else a, state)
+                orig = orig[perm]
+        voxel = fns["color"](self.tree, hit, hvox)
+        return hit, voxel, hvox, hpoint, hnormal
+
+    def render(self, camera, bg=(0.0, 0.0, 0.0), compact: bool = True):
+        origins, dirs = camera.rays()
+        h, w = origins.shape[:2]
+        o = jnp.asarray(origins.reshape(-1, 3))
+        dv = jnp.asarray(dirs.reshape(-1, 3))
+        bgc = jnp.asarray(bg, dtype=F32)
+        levels = self.prepass_levels if self.prepass else 0
+        while levels and (h % (2**levels) or w % (2**levels)):
+            levels -= 1
+
+        if not compact:
+            if levels:
+                from voxelhex_tpu.render.camera import Camera
+
+                level_rays = []
+                for i in range(levels, 0, -1):
+                    f_ = 2**i
+                    cam_i = Camera(
+                        origin=camera.origin,
+                        target=camera.target,
+                        up=camera.up,
+                        fov_y_deg=camera.fov_y_deg,
+                        resolution=(w // f_, h // f_),
+                    )
+                    po, pd = cam_i.rays()
+                    level_rays.append(
+                        (jnp.asarray(po.reshape(-1, 3)), jnp.asarray(pd.reshape(-1, 3)))
+                    )
+                level_rays.append((o, dv))
+                rgb = self._prepass_fn(h, w, levels)(self.tree, tuple(level_rays), bgc)
+            else:
+                rgb = self._shade_batch(self.tree, o, dv, bgc)
+            return np.asarray(rgb).reshape(h, w, 3)
+
+        # compaction path: host-driven rounds, optional multi-level prepass
+        from voxelhex_tpu.render.camera import Camera
+
+        start = None
+        for i in range(levels, -1, -1):
+            f_ = 2**i
+            if i > 0:
+                cam_i = Camera(
+                    origin=camera.origin,
+                    target=camera.target,
+                    up=camera.up,
+                    fov_y_deg=camera.fov_y_deg,
+                    resolution=(w // f_, h // f_),
+                )
+                po, pd = cam_i.rays()
+                lo = jnp.asarray(po.reshape(-1, 3))
+                ld = jnp.asarray(pd.reshape(-1, 3))
+            else:
+                lo, ld = o, dv
+            hit, voxel, _hv, hpoint, hnormal = self.trace_compacted(
+                lo, ld, start_t=None if start is None else start.reshape(-1)
+            )
+            if i == 0:
+                rgb = self._shade_only(self.tree, hit, voxel, hnormal, bgc)
+                return np.asarray(rgb).reshape(h, w, 3)
+            start = self._depth_start(hit, hpoint, lo, h // f_, w // f_)
+        raise AssertionError("unreachable")

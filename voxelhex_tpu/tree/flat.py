@@ -59,6 +59,10 @@ class FlatTree:
     node_mips: np.ndarray  # int32[N]
     bricks: np.ndarray  # int32[B, d^3]
     palette: np.ndarray  # float32[P, 4]
+    # Per-brick 64-bit occupancy (4x4x4 downsample) as (lo, hi) u32 words.
+    # For brick_dim <= 4 the bitmap IS the full-resolution voxel occupancy,
+    # letting renderers march bricks with zero voxel fetches.
+    brick_ocbits: np.ndarray = None  # uint32[B, 2]
 
     @property
     def n_nodes(self) -> int:
@@ -95,6 +99,11 @@ class FlatTree:
             node_ocbits=pad(self.node_ocbits, node_multiple, 0),
             node_mips=pad(self.node_mips, node_multiple, EMPTY_DESC),
             bricks=pad(self.bricks, brick_multiple, -1),
+            brick_ocbits=(
+                pad(self.brick_ocbits, brick_multiple, 0)
+                if self.brick_ocbits is not None
+                else None
+            ),
         )
 
 
@@ -185,6 +194,14 @@ def flatten(tree: BoxTree) -> FlatTree:
     else:
         bricks = np.zeros((0, d**3), dtype=np.int32)
 
+    from voxelhex_tpu.spatial.math import brick_occupied_bits
+
+    brick_ocbits = np.zeros((bricks.shape[0], 2), dtype=np.uint32)
+    for i in range(bricks.shape[0]):
+        bits = brick_occupied_bits(bricks[i] != EMPTY_DESC)
+        brick_ocbits[i, 0] = bits & 0xFFFFFFFF
+        brick_ocbits[i, 1] = (bits >> 32) & 0xFFFFFFFF
+
     n_colors = max(1, len(tree.color_palette))
     palette = np.zeros((n_colors, 4), dtype=np.float32)
     for i, c in enumerate(tree.color_palette):
@@ -199,4 +216,5 @@ def flatten(tree: BoxTree) -> FlatTree:
         node_mips=node_mips,
         bricks=bricks,
         palette=palette,
+        brick_ocbits=brick_ocbits,
     )
