@@ -1,0 +1,87 @@
+"""Streaming view (out-of-core paging) tests."""
+
+import numpy as np
+
+from voxelhex_tpu.render.camera import Camera
+from voxelhex_tpu.render.streaming import StreamingView
+from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+
+RED = Albedo.from_u32(0xFF0000FF)
+GREEN = Albedo.from_u32(0x00FF00FF)
+
+
+def make_tree():
+    # a 256-world with content in two distant corners
+    tree = BoxTree(256, 4, auto_simplify=False)
+    for p in [(10, 10, 10), (12, 10, 10), (10, 12, 10)]:
+        tree.insert(p, RED)
+    for p in [(200, 200, 200), (202, 200, 200)]:
+        tree.insert(p, GREEN)
+    return tree
+
+
+def test_view_pages_in_content():
+    tree = make_tree()
+    view = StreamingView(tree, view_size=64, regions_per_update=4096)
+    cam = Camera(
+        origin=np.array([11.0, 11.0, -30.0]),
+        target=np.array([11.0, 11.0, 11.0]),
+        resolution=(32, 32),
+        fov_y_deg=30.0,
+    )
+    img = view.render(cam)
+    assert img[:, :, 0].max() > 0.2  # red voxels visible
+    assert np.array_equal(view.origin, [0, 0, 0])
+
+
+def test_view_follows_camera_and_evicts():
+    tree = make_tree()
+    view = StreamingView(tree, view_size=64, regions_per_update=4096)
+    cam1 = Camera(
+        origin=np.array([11.0, 11.0, -30.0]),
+        target=np.array([11.0, 11.0, 11.0]),
+        resolution=(24, 24),
+        fov_y_deg=30.0,
+    )
+    view.render(cam1)
+    up1 = view.uploads
+    # move to the far corner: window re-anchors and pages new content
+    cam2 = Camera(
+        origin=np.array([201.0, 201.0, 170.0]),
+        target=np.array([201.0, 200.0, 200.0]),
+        resolution=(24, 24),
+        fov_y_deg=30.0,
+    )
+    img2 = view.render(cam2)
+    assert view.uploads > up1
+    assert view.origin.max() > 100  # window moved
+    assert img2[:, :, 1].max() > 0.2  # green voxels visible
+
+
+def test_edit_invalidates_region():
+    tree = make_tree()
+    view = StreamingView(tree, view_size=64, regions_per_update=4096)
+    cam = Camera(
+        origin=np.array([11.0, 11.0, -30.0]),
+        target=np.array([11.0, 11.0, 11.0]),
+        resolution=(24, 24),
+        fov_y_deg=30.0,
+    )
+    view.render(cam)
+    # edit inside the view: new voxel appears after the next update
+    tree.insert((11, 11, 11), GREEN)
+    assert len(view._dirty) > 0
+    img = view.render(cam)
+    assert img[:, :, 1].max() > 0.1
+
+
+def test_partial_budget_leaves_dirty():
+    tree = make_tree()
+    view = StreamingView(tree, view_size=64, regions_per_update=3)
+    remaining = view.update(np.array([11.0, 11.0, 11.0]))
+    assert remaining > 0
+    # keep updating until everything is resident
+    for _ in range(200):
+        if view.update(np.array([11.0, 11.0, 11.0])) == 0:
+            break
+    assert len(view._dirty) == 0

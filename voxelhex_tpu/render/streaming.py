@@ -1,0 +1,245 @@
+"""Out-of-core streaming: a bounded render-resident view over a huge scene.
+
+The reference streams tree nodes/bricks into fixed GPU buffers around the
+camera with per-frame upload budgets and a victim cache (reference:
+src/raytracing/bevy/streaming/{cache,upload_queue}.rs, view.rs).  The
+TPU-native equivalent pages **dense BitGrid regions**:
+
+* the *view* is a BitGrid of fixed extent ``view_size`` (a power of 4) whose
+  world origin snaps to a region grid around the camera (the reference's
+  ``brick_slot`` re-anchoring, view.rs:247-256);
+* scene content is rasterized region-by-region from the host BoxTree into
+  the view's occupancy pyramid + color grid, with a per-update region budget
+  (the reference's ``node_uploads_per_frame``/``brick_uploads_per_frame``
+  knobs, view.rs:108-111);
+* regions no longer inside the view window are implicitly evicted when the
+  window moves (their slots are re-rasterized by the new content — the
+  dense layout IS the victim cache, with addressing instead of bookkeeping);
+* tree edits fire ``update_triggers`` which mark overlapping regions dirty
+  for re-upload (the reference's ``changes_buffer`` delta path,
+  streaming/mod.rs:35-286).
+
+Rays are traced in *view space*; world-space cameras are translated by the
+view origin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from voxelhex_tpu.render.bitgrid import (
+    COLOR_EMPTY,
+    BitGrid,
+    BitGridRenderer,
+    _pack_bits,
+    build_bitgrid,
+)
+from voxelhex_tpu.tree.boxtree import BoxTree
+
+REGION = 16  # voxels per paged region edge (one region = 4^2 blocks)
+
+
+class StreamingView:
+    """A camera-following resident window over a (possibly huge) host tree."""
+
+    def __init__(
+        self,
+        tree: BoxTree,
+        view_size: int = 256,
+        regions_per_update: int = 64,
+        prepass: bool = False,
+    ):
+        assert view_size % REGION == 0
+        self.tree = tree
+        self.view_size = int(view_size)
+        self.regions_per_update = int(regions_per_update)
+        self.origin = np.zeros(3, dtype=np.int64)  # view window min corner
+
+        # resident CPU mirrors of the dense grids
+        S = self.view_size
+        self._occ = np.zeros((S, S, S), dtype=bool)
+        self._col = np.full((S, S, S), COLOR_EMPTY, dtype=np.uint16)
+        self._resident = set()  # region coords currently rasterized
+        self._dirty: set = set()  # regions needing (re-)upload
+        self.uploads = 0  # statistics: regions uploaded so far
+
+        # edits on the tree invalidate overlapping regions
+        tree.update_triggers.append(self._on_tree_update)
+
+        self.renderer: BitGridRenderer | None = None
+        self._mark_window_dirty()
+
+    # ------------------------------------------------------------------
+
+    def _region_range(self):
+        n = self.view_size // REGION
+        return n
+
+    def _mark_window_dirty(self):
+        n = self._region_range()
+        self._dirty = {(x, y, z) for x in range(n) for y in range(n) for z in range(n)}
+        self._resident.clear()
+
+    def _on_tree_update(self, access_stack, sectants):
+        """Tree edit callback: conservatively mark the affected node's world
+        region(s) dirty (the reference re-uploads the access path,
+        streaming/mod.rs:35-286)."""
+        # access_stack: [(node_key, sectant), ...] from the root; re-derive
+        # the deepest node's bounds
+        size = float(self.tree.size)
+        mn = np.zeros(3)
+        for _key, sectant in access_stack[:-1]:
+            size /= 4.0
+            mn = mn + np.array(
+                [sectant % 4, (sectant // 4) % 4, sectant // 16]
+            ) * size
+        # the node covers [mn, mn+size); mark overlapping view regions
+        lo = np.maximum(mn - self.origin, 0)
+        hi = np.minimum(mn + size - self.origin, self.view_size)
+        if np.any(hi <= 0) or np.any(lo >= self.view_size):
+            return
+        r0 = (lo // REGION).astype(int)
+        r1 = np.ceil(hi / REGION).astype(int)
+        for x in range(r0[0], r1[0]):
+            for y in range(r0[1], r1[1]):
+                for z in range(r0[2], r1[2]):
+                    self._dirty.add((x, y, z))
+                    self._resident.discard((x, y, z))
+
+    # ------------------------------------------------------------------
+
+    def _desired_origin(self, camera_origin):
+        """Snap the view window around the camera to the region grid."""
+        center = np.asarray(camera_origin, dtype=np.float64)
+        half = self.view_size / 2.0
+        origin = np.floor((center - half) / REGION) * REGION
+        origin = np.clip(origin, 0, max(self.tree.size - self.view_size, 0))
+        return origin.astype(np.int64)
+
+    def update(self, camera_origin) -> int:
+        """Move the window if needed and upload up to ``regions_per_update``
+        dirty regions.  Returns the number of regions still dirty."""
+        new_origin = self._desired_origin(camera_origin)
+        if not np.array_equal(new_origin, self.origin):
+            shift = new_origin - self.origin
+            self._shift_window(shift)
+            self.origin = new_origin
+
+        budget = self.regions_per_update
+        uploaded_any = False
+        while self._dirty and budget > 0:
+            region = self._dirty.pop()
+            self._rasterize_region(region)
+            self._resident.add(region)
+            budget -= 1
+            self.uploads += 1
+            uploaded_any = True
+
+        if uploaded_any or self.renderer is None:
+            self._rebuild_device()
+        return len(self._dirty)
+
+    def _shift_window(self, shift):
+        """Window moved: keep overlapping content, mark the rest dirty."""
+        S = self.view_size
+        new_occ = np.zeros_like(self._occ)
+        new_col = np.full_like(self._col, COLOR_EMPTY)
+        src_lo = np.maximum(shift, 0)
+        src_hi = np.minimum(S + shift, S)
+        dst_lo = np.maximum(-shift, 0)
+        if np.all(src_hi > src_lo):
+            sl_src = tuple(slice(int(a), int(b)) for a, b in zip(src_lo, src_hi))
+            spans = [int(b - a) for a, b in zip(src_lo, src_hi)]
+            sl_dst = tuple(
+                slice(int(a), int(a + s)) for a, s in zip(dst_lo, spans)
+            )
+            new_occ[sl_dst] = self._occ[sl_src]
+            new_col[sl_dst] = self._col[sl_src]
+        self._occ, self._col = new_occ, new_col
+
+        # recompute residency after the shift
+        n = self._region_range()
+        shifted = set()
+        shift_r = shift // REGION
+        for x, y, z in self._resident:
+            nx, ny, nz = x - shift_r[0], y - shift_r[1], z - shift_r[2]
+            if 0 <= nx < n and 0 <= ny < n and 0 <= nz < n:
+                shifted.add((int(nx), int(ny), int(nz)))
+        self._resident = shifted
+        self._dirty = {
+            (x, y, z)
+            for x in range(n)
+            for y in range(n)
+            for z in range(n)
+            if (x, y, z) not in self._resident
+        }
+
+    def _rasterize_region(self, region):
+        """Fill one REGION^3 window region from the host tree."""
+        x0, y0, z0 = (int(c) * REGION + o for c, o in zip(region, self.origin))
+        sl = np.s_[
+            region[0] * REGION : region[0] * REGION + REGION,
+            region[1] * REGION : region[1] * REGION + REGION,
+            region[2] * REGION : region[2] * REGION + REGION,
+        ]
+        occ = np.zeros((REGION, REGION, REGION), dtype=bool)
+        col = np.full((REGION, REGION, REGION), COLOR_EMPTY, dtype=np.uint16)
+        tree = self.tree
+        if x0 < tree.size and y0 < tree.size and z0 < tree.size:
+            # query per voxel through the host tree (region granularity keeps
+            # this bounded; bulk scenes should pre-rasterize via build_bitgrid)
+            for dx in range(min(REGION, tree.size - x0)):
+                for dy in range(min(REGION, tree.size - y0)):
+                    for dz in range(min(REGION, tree.size - z0)):
+                        packed = tree.get_packed((x0 + dx, y0 + dy, z0 + dz))
+                        if packed != 0xFFFFFFFF and not tree.pix_points_to_empty(
+                            packed
+                        ):
+                            occ[dx, dy, dz] = True
+                            ci = packed & 0xFFFF
+                            col[dx, dy, dz] = 0xFFFE if ci == 0xFFFF else ci
+        self._occ[sl] = occ
+        self._col[sl] = col
+
+    def _rebuild_device(self):
+        """Repack the pyramid and refresh the device arrays."""
+        levels_lo, levels_hi = [], []
+        grid = self._occ
+        while grid.shape[0] > 1:
+            lo, hi, coarse = _pack_bits(grid)
+            levels_lo.append(lo)
+            levels_hi.append(hi)
+            grid = coarse
+        bases = np.zeros(len(levels_lo), dtype=np.int64)
+        for i in range(1, len(levels_lo)):
+            bases[i] = bases[i - 1] + len(levels_lo[i - 1])
+        n_colors = max(1, len(self.tree.color_palette))
+        palette = np.zeros((n_colors, 4), dtype=np.float32)
+        for i, c in enumerate(self.tree.color_palette):
+            palette[i] = [c.r / 255.0, c.g / 255.0, c.b / 255.0, c.a / 255.0]
+        bg = BitGrid(
+            size=self.view_size,
+            n_levels=len(levels_lo),
+            level_bases=bases,
+            occ_lo=np.concatenate(levels_lo),
+            occ_hi=np.concatenate(levels_hi),
+            colors=self._col.transpose(2, 1, 0).ravel(),
+            palette=palette,
+        )
+        self.renderer = BitGridRenderer(bg)
+
+    # ------------------------------------------------------------------
+
+    def render(self, camera, bg=(0.0, 0.0, 0.0)):
+        """Update the window for the camera and render (view-space shift)."""
+        from dataclasses import replace
+
+        self.update(np.asarray(camera.target, dtype=np.float64))
+        cam_local = replace(
+            camera,
+            origin=np.asarray(camera.origin, dtype=np.float32)
+            - self.origin.astype(np.float32),
+            target=np.asarray(camera.target, dtype=np.float32)
+            - self.origin.astype(np.float32),
+        )
+        return self.renderer.render(cam_local, bg=bg)
