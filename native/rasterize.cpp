@@ -1,0 +1,186 @@
+// Native host-side kernels for voxelhex_tpu.
+//
+// The render-resident BitGrid (dense occupancy pyramid + color grid) is
+// rebuilt whenever scenes load or stream; for multi-million-voxel scenes the
+// NumPy path spends seconds in per-node Python dispatch and large
+// transposes.  These C++ kernels do the same work in one pass over flat
+// x-fastest arrays (idx = x + y*S + z*S^2):
+//
+//  * rasterize_flat: walk the flat boxtree snapshot (same descriptor
+//    encoding as voxelhex_tpu.tree.flat: -1 empty, bit30 solid, else brick
+//    pool index; internal children are node keys) and paint dense occupancy
+//    + color grids, stretching/slicing bricks for uniform/undersized cells.
+//  * pack_level: fold a dense cell grid into per-block 64-bit occupancy
+//    words (bit s = cx + 4*cy + 16*cz) plus the next-coarser cell grid.
+//
+// Built as a plain shared library with extern "C" entry points; Python binds
+// via ctypes (voxelhex_tpu/native.py) and falls back to NumPy when absent.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t EMPTY_DESC = -1;
+constexpr int32_t SOLID_FLAG = 1 << 30;
+constexpr uint16_t COLOR_EMPTY = 0xFFFF;
+constexpr uint16_t COLOR_NONE = 0xFFFE;
+
+struct Frame {
+    int32_t key;
+    int32_t x, y, z;
+    int32_t size;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Paint one brick descriptor spanning `extent` voxels at (x0,y0,z0).
+static void paint_desc(const int32_t* bricks, int brick_dim, int n_bricks,
+                       int32_t desc, int x0, int y0, int z0, int extent,
+                       int S, uint8_t* occ, uint16_t* colors) {
+    if (desc == EMPTY_DESC) return;
+    const int64_t S2 = (int64_t)S * S;
+    if (desc & SOLID_FLAG) {
+        int32_t v = desc & (SOLID_FLAG - 1);
+        uint16_t c = v >= COLOR_NONE ? COLOR_NONE : (uint16_t)v;
+        for (int z = z0; z < z0 + extent; ++z)
+            for (int y = y0; y < y0 + extent; ++y) {
+                int64_t base = (int64_t)x0 + (int64_t)y * S + (int64_t)z * S2;
+                for (int x = 0; x < extent; ++x) {
+                    occ[base + x] = 1;
+                    colors[base + x] = c;
+                }
+            }
+        return;
+    }
+    if (desc < 0 || desc >= n_bricks) return;
+    const int d = brick_dim;
+    const int32_t* brick = bricks + (int64_t)desc * d * d * d;
+    // brick layout: flat x-fastest within the brick (bx + by*d + bz*d^2)
+    if (extent >= d) {
+        int f = extent / d;  // voxel stretch factor (uniform-leaf LOD)
+        for (int bz = 0; bz < d; ++bz)
+            for (int by = 0; by < d; ++by)
+                for (int bx = 0; bx < d; ++bx) {
+                    int32_t v = brick[bx + by * d + bz * d * d];
+                    if (v == EMPTY_DESC) continue;
+                    uint16_t c = v >= COLOR_NONE ? COLOR_NONE : (uint16_t)v;
+                    for (int dz = 0; dz < f; ++dz)
+                        for (int dy = 0; dy < f; ++dy) {
+                            int64_t base = (int64_t)(x0 + bx * f)
+                                + (int64_t)(y0 + by * f + dy) * S
+                                + (int64_t)(z0 + bz * f + dz) * S2;
+                            for (int dx = 0; dx < f; ++dx) {
+                                occ[base + dx] = 1;
+                                colors[base + dx] = c;
+                            }
+                        }
+                }
+    } else {
+        // cell smaller than the brick: take the low corner sub-cube
+        for (int bz = 0; bz < extent; ++bz)
+            for (int by = 0; by < extent; ++by)
+                for (int bx = 0; bx < extent; ++bx) {
+                    int32_t v = brick[bx + by * d + bz * d * d];
+                    if (v == EMPTY_DESC) continue;
+                    uint16_t c = v >= COLOR_NONE ? COLOR_NONE : (uint16_t)v;
+                    int64_t idx = (int64_t)(x0 + bx) + (int64_t)(y0 + by) * S
+                        + (int64_t)(z0 + bz) * S2;
+                    occ[idx] = 1;
+                    colors[idx] = c;
+                }
+    }
+}
+
+// Rasterize a flat boxtree snapshot into dense occ (u8) + colors (u16)
+// grids of S^3 entries (x-fastest).  Buffers must be pre-zeroed /
+// pre-filled with COLOR_EMPTY by the caller.
+void rasterize_flat(const uint32_t* node_meta, const int32_t* node_children,
+                    const int32_t* bricks, int32_t n_nodes, int32_t n_bricks,
+                    int32_t brick_dim, int32_t S,
+                    uint8_t* occ, uint16_t* colors) {
+    std::vector<Frame> stack;
+    stack.push_back({0, 0, 0, 0, S});
+    while (!stack.empty()) {
+        Frame f = stack.back();
+        stack.pop_back();
+        if (f.key < 0 || f.key >= n_nodes) continue;
+        uint32_t meta = node_meta[f.key];
+        int cell = f.size / 4;
+        const int32_t* row = node_children + (int64_t)f.key * 64;
+        if (meta & 2) {  // uniform: one brick over the whole node
+            paint_desc(bricks, brick_dim, n_bricks, row[0], f.x, f.y, f.z,
+                       f.size, S, occ, colors);
+        } else if (meta & 1) {  // leaf: 64 bricks
+            for (int s = 0; s < 64; ++s) {
+                if (row[s] == EMPTY_DESC) continue;
+                paint_desc(bricks, brick_dim, n_bricks, row[s],
+                           f.x + (s % 4) * cell, f.y + ((s / 4) % 4) * cell,
+                           f.z + (s / 16) * cell, cell, S, occ, colors);
+            }
+        } else {  // internal
+            for (int s = 0; s < 64; ++s) {
+                int32_t child = row[s];
+                if (child < 0) continue;
+                stack.push_back({child, f.x + (s % 4) * cell,
+                                 f.y + ((s / 4) % 4) * cell,
+                                 f.z + (s / 16) * cell, cell});
+            }
+        }
+    }
+}
+
+// Fold a dense cell grid (c^3 u8, x-fastest; c padded to a multiple of 4 by
+// the caller) into per-block 64-bit occupancy words and the coarser grid.
+// lo/hi have (c/4)^3 entries (x-fastest flat block index); coarse likewise.
+void pack_level(const uint8_t* grid, int32_t c,
+                uint32_t* lo, uint32_t* hi, uint8_t* coarse) {
+    const int n = c / 4;
+    const int64_t c2 = (int64_t)c * c;
+    for (int bz = 0; bz < n; ++bz)
+        for (int by = 0; by < n; ++by)
+            for (int bx = 0; bx < n; ++bx) {
+                uint64_t w = 0;
+                for (int z = 0; z < 4; ++z)
+                    for (int y = 0; y < 4; ++y) {
+                        int64_t base = (int64_t)(bx * 4)
+                            + (int64_t)(by * 4 + y) * c
+                            + (int64_t)(bz * 4 + z) * c2;
+                        for (int x = 0; x < 4; ++x)
+                            if (grid[base + x])
+                                w |= 1ull << (x + y * 4 + z * 16);
+                    }
+                int64_t b = (int64_t)bx + (int64_t)by * n + (int64_t)bz * n * n;
+                lo[b] = (uint32_t)(w & 0xFFFFFFFFu);
+                hi[b] = (uint32_t)(w >> 32);
+                coarse[b] = w != 0;
+            }
+}
+
+// Rasterize a REGION^3 window from dense source coordinates: helper for the
+// streaming layer — copies with bounds clipping from a source grid.
+void copy_region(const uint8_t* src_occ, const uint16_t* src_col, int32_t S,
+                 int32_t x0, int32_t y0, int32_t z0, int32_t extent,
+                 uint8_t* dst_occ, uint16_t* dst_col) {
+    const int64_t S2 = (int64_t)S * S;
+    for (int z = 0; z < extent; ++z)
+        for (int y = 0; y < extent; ++y)
+            for (int x = 0; x < extent; ++x) {
+                int64_t di = (int64_t)x + (int64_t)y * extent
+                    + (int64_t)z * extent * extent;
+                int sx = x0 + x, sy = y0 + y, sz = z0 + z;
+                if (sx < 0 || sy < 0 || sz < 0 || sx >= S || sy >= S || sz >= S) {
+                    dst_occ[di] = 0;
+                    dst_col[di] = COLOR_EMPTY;
+                } else {
+                    int64_t si = (int64_t)sx + (int64_t)sy * S + (int64_t)sz * S2;
+                    dst_occ[di] = src_occ[si];
+                    dst_col[di] = src_col[si];
+                }
+            }
+}
+
+}  // extern "C"

@@ -1,0 +1,105 @@
+"""ctypes bindings to the native C++ host kernels (native/rasterize.cpp).
+
+The shared library is compiled on demand with the system toolchain and
+cached next to the sources; every caller must handle ``load() is None`` and
+fall back to the NumPy implementation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "native", "rasterize.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "..", "native", "librasterize.so")
+
+
+def load():
+    """Load (building if needed) the native library; None when unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.abspath(_SRC)
+    so = os.path.abspath(_SO)
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+    except Exception:
+        return None
+
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i32 = ctypes.c_int32
+
+    lib.rasterize_flat.argtypes = [u32p, i32p, i32p, i32, i32, i32, i32, u8p, u16p]
+    lib.rasterize_flat.restype = None
+    lib.pack_level.argtypes = [u8p, i32, u32p, u32p, u8p]
+    lib.pack_level.restype = None
+    lib.copy_region.argtypes = [u8p, u16p, i32, i32, i32, i32, i32, u8p, u16p]
+    lib.copy_region.restype = None
+    _LIB = lib
+    return _LIB
+
+
+def rasterize_flat(flat):
+    """Dense (occ u8 [S^3], colors u16 [S^3]) grids, x-fastest flat layout.
+    Returns None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    S = int(flat.size)
+    occ = np.zeros(S * S * S, dtype=np.uint8)
+    colors = np.full(S * S * S, 0xFFFF, dtype=np.uint16)
+    meta = np.ascontiguousarray(flat.node_meta, dtype=np.uint32)
+    children = np.ascontiguousarray(flat.node_children, dtype=np.int32)
+    bricks = np.ascontiguousarray(flat.bricks, dtype=np.int32)
+    lib.rasterize_flat(
+        meta, children, bricks,
+        np.int32(meta.shape[0]), np.int32(bricks.shape[0]),
+        np.int32(flat.brick_dim), np.int32(S), occ, colors,
+    )
+    return occ, colors
+
+
+def pack_pyramid(occ_flat: np.ndarray, S: int):
+    """Build all pyramid levels from a dense x-fastest occupancy grid.
+    Returns (levels_lo, levels_hi) lists or None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    levels_lo, levels_hi = [], []
+    grid = np.ascontiguousarray(occ_flat, dtype=np.uint8)
+    c = S
+    while c > 1:
+        if c % 4 != 0:
+            target = ((c + 3) // 4) * 4
+            padded = np.zeros(target * target * target, dtype=np.uint8)
+            g3 = grid.reshape(c, c, c)  # [z, y, x]
+            p3 = padded.reshape(target, target, target)
+            p3[:c, :c, :c] = g3
+            grid = padded
+            c = target
+        n = c // 4
+        lo = np.empty(n * n * n, dtype=np.uint32)
+        hi = np.empty(n * n * n, dtype=np.uint32)
+        coarse = np.empty(n * n * n, dtype=np.uint8)
+        lib.pack_level(grid, np.int32(c), lo, hi, coarse)
+        levels_lo.append(lo)
+        levels_hi.append(hi)
+        grid = coarse
+        c = n
+    return levels_lo, levels_hi

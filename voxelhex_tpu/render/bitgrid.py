@@ -209,17 +209,34 @@ def _pack_bits(grid_xyz):
 
 
 def build_bitgrid(source) -> BitGrid:
-    """Build the dense pyramid from a BoxTree or FlatTree."""
-    flat = source if isinstance(source, FlatTree) else flatten(source)
-    occ, col = _dense_from_flat(flat)
+    """Build the dense pyramid from a BoxTree or FlatTree.
 
-    levels_lo, levels_hi = [], []
-    grid = occ
-    while grid.shape[0] > 1:
-        lo, hi, coarse = _pack_bits(grid)
-        levels_lo.append(lo)
-        levels_hi.append(hi)
-        grid = coarse
+    Uses the native C++ rasterizer/packer (voxelhex_tpu.native) when
+    available, with a NumPy fallback."""
+    flat = source if isinstance(source, FlatTree) else flatten(source)
+
+    from voxelhex_tpu import native
+
+    nat = native.rasterize_flat(flat)
+    if nat is not None:
+        occ_flat, col_flat = nat
+        packed = native.pack_pyramid(occ_flat, flat.size)
+    else:
+        packed = None
+
+    if packed is not None:
+        levels_lo, levels_hi = packed
+        colors = col_flat
+    else:
+        occ, col = _dense_from_flat(flat)
+        levels_lo, levels_hi = [], []
+        grid = occ
+        while grid.shape[0] > 1:
+            lo, hi, coarse = _pack_bits(grid)
+            levels_lo.append(lo)
+            levels_hi.append(hi)
+            grid = coarse
+        colors = col.transpose(2, 1, 0).ravel()  # flat, x fastest
 
     bases = np.zeros(len(levels_lo), dtype=np.int64)
     for i in range(1, len(levels_lo)):
@@ -231,7 +248,7 @@ def build_bitgrid(source) -> BitGrid:
         level_bases=bases,
         occ_lo=np.concatenate(levels_lo),
         occ_hi=np.concatenate(levels_hi),
-        colors=col.transpose(2, 1, 0).ravel(),  # flat, x fastest
+        colors=colors,
         palette=flat.palette,
     )
 
