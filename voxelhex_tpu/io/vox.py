@@ -266,3 +266,33 @@ def load_vox_tree(path, brick_dim: int = 32, frame: int = 0, simplify: bool = Tr
     extent = int(positions.max() + 1) if len(positions) else brick_dim * 4
     size = tree_size_for(extent, brick_dim)
     return from_voxels(positions, colors, size=size, brick_dim=brick_dim, simplify=simplify)
+
+
+def load_vox_tree_cached(path, brick_dim: int = 32, frame: int = 0):
+    """Load a .vox model with an on-disk parsed-tree cache.
+
+    Mirrors the whisp viewer's loader (reference: whisp/src/loader.rs:51-96,
+    300-372): the parsed tree is checkpointed next to the model as
+    ``.cache_<name>.vhx``; on the next load the cache is used if its format
+    version is compatible, else the source ``.vox`` is re-parsed and the
+    cache rewritten.
+    """
+    import os
+
+    from voxelhex_tpu.io import checkpoint
+
+    d = os.path.dirname(os.path.abspath(path))
+    name = os.path.basename(path)
+    cache = os.path.join(d, f".cache_{name}_{brick_dim}.vhx")
+    if os.path.exists(cache):
+        try:
+            if checkpoint.version_compatible(checkpoint.peek_version(cache)):
+                return checkpoint.load_tree(cache)
+        except Exception:
+            pass  # unreadable / stale cache -> re-parse
+    tree = load_vox_tree(path, brick_dim=brick_dim, frame=frame)
+    try:
+        checkpoint.save_tree(cache, tree)
+    except OSError:
+        pass  # read-only model directory: skip caching
+    return tree
