@@ -522,7 +522,7 @@ class BitGridRenderer:
 
         def _depth_start(hit, hpoint, o, h2, w2):
             depth = jnp.where(
-                hit, jnp.linalg.norm(hpoint - o, axis=-1), 0.0
+                hit, jnp.linalg.norm(hpoint - o, axis=-1), 1e8
             ).reshape(h2, w2)
             dpad = jnp.pad(depth, ((0, 1), (0, 1)), mode="edge")
             dmin = jnp.minimum(
@@ -575,7 +575,7 @@ class BitGridRenderer:
                 if i == levels:
                     return _shade(tree, hit, voxel, hnormal, bg_color)
                 depth = jnp.where(
-                    hit, jnp.linalg.norm(p_point - lo, axis=-1), 0.0
+                    hit, jnp.linalg.norm(p_point - lo, axis=-1), 1e8
                 ).reshape(shapes[i])
                 start = depth_to_start(depth)
             raise AssertionError("unreachable")
