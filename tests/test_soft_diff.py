@@ -1,0 +1,98 @@
+"""Soft-occupancy differentiable rendering tests (multi-hit + carving)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxelhex_tpu.diff.soft import SoftRenderer, fit_soft
+from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+
+RED = Albedo.from_u32(0xFF0000FF)
+GREEN = Albedo.from_u32(0x00FF00FF)
+
+
+def test_multihit_records_layers():
+    # two walls behind each other; a straight ray must record both
+    tree = BoxTree(16, 4, auto_simplify=False)
+    for x in range(4, 8):
+        for y in range(4, 8):
+            tree.insert((x, y, 4), RED)
+            tree.insert((x, y, 10), GREEN)
+    r = SoftRenderer(tree, max_hits=3)
+    o = np.array([[5.5, 5.5, -3.0]], dtype=np.float32)
+    d = np.array([[0, 0, 1.0]], dtype=np.float32)
+    count, voxels, dists = r.trace_hits(o, d)
+    count = int(np.asarray(count)[0])
+    voxels = np.asarray(voxels)[0]
+    assert count == 2
+    assert tuple(voxels[0]) == (5, 5, 4)
+    assert tuple(voxels[1]) == (5, 5, 10)
+    assert np.asarray(dists)[0, 0] < np.asarray(dists)[0, 1]
+
+
+def test_composite_opaque_front_wins():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert((5, 5, 4), RED)
+    tree.insert((5, 5, 10), GREEN)
+    r = SoftRenderer(tree, max_hits=2)
+    params = r.init_params(init_opacity=0.999)
+    o = np.array([[5.5, 5.5, -3.0]], dtype=np.float32)
+    d = np.array([[0, 0, 1.0]], dtype=np.float32)
+    rgb = np.asarray(r.render(params, o, d))
+    assert rgb[0, 0] > 0.9 and rgb[0, 1] < 0.05  # front red dominates
+
+
+def test_occupancy_gradient_carves_voxel():
+    """Fitting against a target image without the front voxel drives its
+    opacity toward zero, revealing the voxel behind."""
+    tree = BoxTree(16, 4, auto_simplify=False)
+    for x in range(3, 9):
+        for y in range(3, 9):
+            tree.insert((x, y, 10), GREEN)  # back wall
+    tree.insert((5, 5, 4), RED)  # the voxel to carve
+
+    r = SoftRenderer(tree, max_hits=3)
+    # rays covering the front voxel and the wall
+    xs, ys = np.meshgrid(np.linspace(3.2, 8.8, 12), np.linspace(3.2, 8.8, 12))
+    origins = np.stack(
+        [xs.ravel(), ys.ravel(), np.full(xs.size, -3.0)], axis=1
+    ).astype(np.float32)
+    dirs = np.tile(np.array([[0, 0, 1.0]], dtype=np.float32), (xs.size, 1))
+
+    # target: the wall only (green everywhere)
+    green = np.tile(np.array([[0.0, 1.0, 0.0]], dtype=np.float32), (xs.size, 1))
+
+    params, losses = fit_soft(
+        r, origins, dirs, green, steps=250, lr=0.1, fit_albedo=False
+    )
+    assert losses[-1] < losses[0] * 0.05, (losses[0], losses[-1])
+
+    # the carved voxel's opacity collapsed
+    S = r.size
+    addr = 5 + 5 * S + 4 * S * S
+    alpha = float(jax.nn.sigmoid(params["logits"][addr]))
+    assert alpha < 0.1, alpha
+    # the wall's opacity survived
+    addr_wall = 5 + 5 * S + 10 * S * S
+    alpha_wall = float(jax.nn.sigmoid(params["logits"][addr_wall]))
+    assert alpha_wall > 0.5, alpha_wall
+
+
+def test_albedo_gradients_flow_through_composite():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert((5, 5, 4), RED)
+    r = SoftRenderer(tree, max_hits=2)
+    params = r.init_params()
+    o = np.array([[5.5, 5.5, -3.0]], dtype=np.float32)
+    d = np.array([[0, 0, 1.0]], dtype=np.float32)
+    _c, voxels, _ = r.trace_hits(o, d)
+
+    def loss(p):
+        rgb = r.composite(p, voxels)
+        return jnp.sum((rgb - jnp.array([[0.0, 0.0, 1.0]])) ** 2)
+
+    grads = jax.grad(loss)(params)
+    S = r.size
+    addr = 5 + 5 * S + 4 * S * S
+    assert np.abs(np.asarray(grads["albedo"][addr])).sum() > 0
+    assert abs(float(grads["logits"][addr])) >= 0  # finite

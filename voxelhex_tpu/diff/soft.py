@@ -1,0 +1,192 @@
+"""Soft-occupancy differentiable rendering: transmittance compositing.
+
+Extends the albedo-only differentiable path (:mod:`voxelhex_tpu.diff.render`)
+with gradients w.r.t. **occupancy**: each ray records its first K occupied
+voxels (multi-hit march), and the image is composited with soft per-voxel
+opacities
+
+    C = sum_i T_{i-1} * a_i * c_i + T_K * bg,   T_i = prod_{j<=i} (1 - a_j)
+
+where ``a = sigmoid(occupancy_logit)``.  Pixel gradients then flow into both
+the albedo and the opacity of every voxel on the ray — voxels that should
+vanish are carved away by gradient descent (annealed carving).  Voxels that
+do not yet exist receive no gradient; growing geometry needs a dilated
+candidate set (ROADMAP).
+
+The multi-hit march reuses the BitGrid automaton: when a voxel is recorded
+its bit is cleared in the *register copy* of the block's occupancy words, so
+the ray marches on without re-testing it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxelhex_tpu.render import bitgrid as bgmod
+from voxelhex_tpu.render.bitgrid import (
+    COLOR_EMPTY,
+    BitGrid,
+    device_bitgrid,
+)
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def make_multihit_tracer(bg: BitGrid, max_hits: int = 4, max_iters: int = 2048):
+    """``trace(tree, o, d) -> (hit_count [R], voxels [R,K,3], ts [R,K])``.
+
+    Built on the single-hit automaton: run, record, clear the hit voxel's
+    bit in the live register words, continue.
+    """
+    base = bgmod.make_bitgrid_tracer(bg, max_iters=max_iters)
+
+    def trace(tree, o, dirv):
+        R = o.shape[0]
+        K = max_hits
+        voxels = jnp.full((R, K, 3), -1, dtype=I32)
+        dists = jnp.full((R, K), jnp.inf, dtype=F32)
+
+        state = base.init(tree, o, dirv, None)
+
+        def record(state, voxels, dists, k):
+            state = base.run(tree, state, max_iters)
+            hit, hvox = state[11], state[12]
+            point = state[0]
+            voxels = voxels.at[:, k, :].set(jnp.where(hit[:, None], hvox, -1))
+            d = jnp.linalg.norm(point - o, axis=-1)
+            dists = dists.at[:, k].set(jnp.where(hit, d, jnp.inf))
+
+            # resume: clear the recorded voxel's bit in the register words and
+            # reactivate rays that hit
+            tsect = state[1]
+            occ_lo, occ_hi = state[5], state[6]
+            s = jnp.clip(tsect, 0, 63)
+            bit_lo = jnp.where(s < 32, jnp.uint32(1) << s.astype(jnp.uint32), 0)
+            bit_hi = jnp.where(s >= 32, jnp.uint32(1) << (s - 32).astype(jnp.uint32), 0)
+            occ_lo = jnp.where(hit, occ_lo & ~bit_lo, occ_lo)
+            occ_hi = jnp.where(hit, occ_hi & ~bit_hi, occ_hi)
+            active = state[10] | hit
+            hit_new = jnp.zeros_like(hit)
+            state = (state[0], state[1], state[2], state[3], state[4],
+                     occ_lo, occ_hi, state[7], state[8], state[9],
+                     active, hit_new, state[12], state[13], state[14], state[15])
+            return state, voxels, dists
+
+        for k in range(K):
+            state, voxels, dists = record(state, voxels, dists, k)
+        count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
+        return count, voxels, dists
+
+    return trace
+
+
+class SoftRenderer:
+    """Differentiable renderer over dense per-voxel (albedo, opacity) params."""
+
+    def __init__(self, source, max_hits: int = 4, max_iters: int = 2048):
+        bg = source if isinstance(source, BitGrid) else bgmod.build_bitgrid(source)
+        self.bitgrid = bg
+        self.tree = device_bitgrid(bg)
+        self.size = int(bg.size)
+        self._trace = jax.jit(make_multihit_tracer(bg, max_hits=max_hits,
+                                                   max_iters=max_iters))
+
+    def init_params(self, init_opacity: float = 0.99):
+        """Dense albedo [S^3, 3] + opacity logits [S^3] from the scene."""
+        S = self.size
+        colors = np.asarray(self.bitgrid.colors)
+        pal = np.asarray(self.bitgrid.palette)
+        occupied = colors != COLOR_EMPTY
+        ci = np.clip(colors, 0, pal.shape[0] - 1).astype(np.int64)
+        albedo = pal[ci][:, :3].astype(np.float32)
+        albedo[~occupied] = 0.0
+        logit = np.float32(np.log(init_opacity / (1 - init_opacity)))
+        logits = np.where(occupied, logit, -10.0).astype(np.float32)
+        return {"albedo": jnp.asarray(albedo), "logits": jnp.asarray(logits)}
+
+    def trace_hits(self, origins, dirs):
+        o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
+        d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
+        return self._trace(self.tree, o, d)
+
+    def composite(self, params, voxels, bg_color=None):
+        """Differentiable transmittance compositing over recorded voxels."""
+        S = self.size
+        valid = voxels[:, :, 0] >= 0  # [R, K]
+        v = jnp.clip(voxels, 0, S - 1)
+        addr = v[:, :, 0] + v[:, :, 1] * S + v[:, :, 2] * S * S
+        alb = params["albedo"][addr]  # [R, K, 3]
+        alpha = jax.nn.sigmoid(params["logits"][addr])  # [R, K]
+        alpha = jnp.where(valid, alpha, 0.0)
+        trans = jnp.cumprod(1.0 - alpha + 1e-9, axis=1)
+        w = alpha * jnp.concatenate(
+            [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1
+        )
+        rgb = jnp.sum(w[:, :, None] * alb, axis=1)
+        if bg_color is not None:
+            rgb = rgb + trans[:, -1][:, None] * jnp.asarray(bg_color, dtype=F32)
+        return rgb
+
+    def render(self, params, origins, dirs, bg_color=None):
+        _count, voxels, _d = self.trace_hits(origins, dirs)
+        voxels = jax.lax.stop_gradient(voxels)
+        return self.composite(params, voxels, bg_color)
+
+    def loss(self, params, voxels, target):
+        rgb = self.composite(params, voxels)
+        return jnp.mean((rgb - target) ** 2)
+
+
+def fit_soft(
+    renderer: SoftRenderer,
+    origins,
+    dirs,
+    targets,
+    steps: int = 300,
+    lr: float = 0.05,
+    params0=None,
+    opacity_l1: float = 0.0,
+    fit_albedo: bool = True,
+):
+    """Optimize albedo + occupancy logits against target pixels.
+
+    ``opacity_l1`` optionally penalizes total opacity (encourages carving);
+    ``fit_albedo=False`` freezes colors so only geometry adapts.
+    Returns (params, losses)."""
+    import optax
+
+    targets = jnp.asarray(targets).reshape(-1, 3)
+    params = renderer.init_params() if params0 is None else params0
+    _count, voxels, _dists = renderer.trace_hits(origins, dirs)
+    voxels = jax.lax.stop_gradient(voxels)
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        if not fit_albedo:
+            p = {"albedo": jax.lax.stop_gradient(p["albedo"]), "logits": p["logits"]}
+        loss = renderer.loss(p, voxels, targets)
+        if opacity_l1:
+            loss = loss + opacity_l1 * jnp.mean(jax.nn.sigmoid(p["logits"]))
+        return loss
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = {
+            "albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+            "logits": jnp.clip(params["logits"], -12.0, 12.0),
+        }
+        return params, opt_state, loss
+
+    losses = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    return params, losses

@@ -254,9 +254,11 @@ def build_bitgrid(source) -> BitGrid:
 
 
 def device_bitgrid(bg: BitGrid) -> dict:
+    # occupancy words interleaved as [B, 2] rows: ONE row gather per fetch —
+    # measured 4.5x cheaper than two separate gathers on TPU (see PERF.md)
+    occ_pairs = np.stack([bg.occ_lo, bg.occ_hi], axis=1)
     return {
-        "occ_lo": jnp.asarray(bg.occ_lo, dtype=U32),
-        "occ_hi": jnp.asarray(bg.occ_hi, dtype=U32),
+        "occ_pairs": jnp.asarray(occ_pairs, dtype=U32),
         "colors": jnp.asarray(bg.colors, dtype=jnp.uint16),
         "palette": jnp.asarray(bg.palette, dtype=F32),
         "size": jnp.asarray(float(bg.size), dtype=F32),
@@ -286,8 +288,9 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
             bc = jnp.floor(bmin / bs).astype(I32)
             a = bases[l] + bc[:, 0] + bc[:, 1] * dims[l] + bc[:, 2] * dims[l] * dims[l]
             addr = jnp.where(level == l, a, addr)
-        addr = jnp.clip(addr, 0, tree["occ_lo"].shape[0] - 1)
-        return tree["occ_lo"][addr], tree["occ_hi"][addr]
+        addr = jnp.clip(addr, 0, tree["occ_pairs"].shape[0] - 1)
+        pair = tree["occ_pairs"][addr]  # single row gather
+        return pair[:, 0], pair[:, 1]
 
     def init(tree, o, dirv, start_t=None):
         R = o.shape[0]
