@@ -125,3 +125,24 @@ def test_prepass_exact_on_solid_surfaces():
     a2 = BitGridRenderer(tree2, prepass=False).render(cam)
     c2 = BitGridRenderer(tree2, prepass=True, prepass_levels=2).render(cam)
     assert (np.abs(a2 - c2) < 1e-5).all(axis=-1).mean() > 0.85
+
+
+def test_lod_rendering():
+    """Distance-based LOD: identical at lod_scale=0, plausible and
+    energy-preserving at coarse scales."""
+    tree = BoxTree(64, 4, auto_simplify=False)
+    for x in range(16, 48):
+        for y in range(16, 48):
+            for z in range(16, 48):
+                tree.insert((x, y, z), RED if (x // 8 + y // 8) % 2 == 0 else GREEN)
+    r = BitGridRenderer(tree)
+    cam = orbit_camera(64.0, resolution=(48, 36))
+    full = r.render(cam)
+    same = r.render_lod(cam, lod_scale=0.0)
+    np.testing.assert_allclose(full, same, atol=1e-5)
+
+    coarse = r.render_lod(cam, lod_scale=0.3)
+    # coarse silhouettes can only grow; mean brightness stays in range
+    assert (coarse.sum(-1) > 0).mean() >= (full.sum(-1) > 0).mean() - 0.01
+    assert abs(coarse.mean() - full.mean()) < 0.05
+    assert np.isfinite(coarse).all()

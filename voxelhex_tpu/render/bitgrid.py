@@ -113,6 +113,37 @@ class BitGrid:
     occ_hi: np.ndarray  # uint32[total_blocks]
     colors: np.ndarray  # uint16[S^3], flat index x + y*S + z*S^2
     palette: np.ndarray  # float32[P, 4]
+    # Optional per-level MIP colors for LOD rendering: mip_rgb[l] is a
+    # float32 [(S/4^l)^3, 3] grid of averaged colors at cell granularity
+    # (the render-time analog of the reference's per-node MIP bricks,
+    # viewport_render.wgsl:328-364).
+    mip_rgb: list = None
+
+
+def build_mip_colors(bg: "BitGrid") -> "BitGrid":
+    """Attach per-level averaged color grids (gamma-2 box filter over
+    occupied voxels, like the reference's BoxFilter MIP resampler)."""
+    S = bg.size
+    pal = np.asarray(bg.palette, dtype=np.float32)
+    ci = np.minimum(np.asarray(bg.colors), pal.shape[0] - 1).astype(np.int64)
+    occupied = np.asarray(bg.colors) != COLOR_EMPTY
+    rgb = pal[ci][:, :3] ** 2
+    rgb[~occupied] = 0.0
+    w = occupied.astype(np.float32)
+    rgb = rgb.reshape(S, S, S, 3)  # [z, y, x, 3]
+    w = w.reshape(S, S, S)
+    mip_rgb = []
+    c = S
+    while c > 1:
+        n = max(c // 4, 1)
+        f = c // n
+        rgb_b = rgb.reshape(n, f, n, f, n, f, 3).sum(axis=(1, 3, 5))
+        w_b = w.reshape(n, f, n, f, n, f).sum(axis=(1, 3, 5))
+        avg = np.sqrt(rgb_b / np.maximum(w_b[..., None], 1.0))
+        mip_rgb.append(avg.reshape(-1, 3).astype(np.float32))
+        rgb, w, c = rgb_b, w_b, n
+    bg.mip_rgb = mip_rgb
+    return bg
 
 
 def _dense_from_flat(flat: FlatTree):
@@ -257,15 +288,20 @@ def device_bitgrid(bg: BitGrid) -> dict:
     # occupancy words interleaved as [B, 2] rows: ONE row gather per fetch —
     # measured 4.5x cheaper than two separate gathers on TPU (see PERF.md)
     occ_pairs = np.stack([bg.occ_lo, bg.occ_hi], axis=1)
-    return {
+    out = {
         "occ_pairs": jnp.asarray(occ_pairs, dtype=U32),
         "colors": jnp.asarray(bg.colors, dtype=jnp.uint16),
         "palette": jnp.asarray(bg.palette, dtype=F32),
         "size": jnp.asarray(float(bg.size), dtype=F32),
     }
+    if bg.mip_rgb is not None:
+        for l, grid in enumerate(bg.mip_rgb):
+            out[f"mip_rgb_{l}"] = jnp.asarray(grid, dtype=F32)
+    return out
 
 
-def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4):
+def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4,
+                        lod_scale: float = 0.0):
     """``trace(tree, origins, dirs, start_t=None)`` over the dense pyramid."""
     S = float(bg.size)
     Si = int(bg.size)
@@ -339,11 +375,14 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
                 jnp.zeros((R, 3), dtype=I32),  # hvox
                 jnp.zeros((R, 3), dtype=F32),  # hnormal
                 jnp.zeros(R, dtype=I32),  # restarts
-                jnp.zeros((R, 3), dtype=F32))  # bmin
+                jnp.zeros((R, 3), dtype=F32),  # bmin
+                o,  # ray origins (for LOD distance)
+                jnp.zeros(R, dtype=I32))  # hlev: level at hit
 
     def body(tree, st):
         (point, tsect, tmin, tsize, level, occ_lo, occ_hi,
-         dirv, sf, octant, active, hit, hvox, hnormal, restarts, bmin) = st
+         dirv, sf, octant, active, hit, hvox, hnormal, restarts, bmin,
+         origin, hlev) = st
         R = point.shape[0]
         size = tree["size"]
 
@@ -352,12 +391,23 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         m_lo, m_hi = _reach_mask_v(tsect_c, octant)
         no_overlap = ((occ_lo & m_lo) == 0) & ((occ_hi & m_hi) == 0)
 
-        at_bottom = level == 0
+        if lod_scale > 0.0:
+            dist = jnp.sqrt(jnp.sum((point - origin) ** 2, axis=-1))
+            # stop at the level whose cells subtend ~lod_scale of distance
+            stop_level = jnp.clip(
+                (jnp.log2(jnp.maximum(dist * lod_scale, 1.0)) * 0.5).astype(I32),
+                0,
+                top_level,
+            )
+        else:
+            stop_level = jnp.zeros_like(level)
+        at_bottom = level <= stop_level
         found = active & occupied & at_bottom & (tsect < OOB)
         normal = _impact_normal_v(tmin, tsize, point)
         hit = hit | found
         hvox = jnp.where(found[:, None], tmin.astype(I32), hvox)
         hnormal = jnp.where(found[:, None], normal, hnormal)
+        hlev = jnp.where(found, level, hlev)
         active = active & (~found)
 
         descend = active & occupied & (~at_bottom) & (tsect < OOB)
@@ -447,7 +497,8 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         occ_hi = jnp.where(moved, new_hi, occ_hi)
 
         return (point, tsect, tmin, tsize, level, occ_lo, occ_hi,
-                dirv, sf, octant, active, hit, hvox, hnormal, restarts, bmin)
+                dirv, sf, octant, active, hit, hvox, hnormal, restarts, bmin,
+                origin, hlev)
 
     ACTIVE = 10
 
@@ -473,6 +524,25 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
             hit, jnp.where(cidx >= COLOR_NONE, I32(0x3FFFFFFE), cidx), EMPTY_DESC
         )
 
+    def resolve_rgb_lod(tree, hit, hvox, hlev):
+        """RGB from the level-appropriate color grid (level 0: palette via
+        the dense color grid; level l>0: the per-level MIP color grid)."""
+        voxel = resolve_color(tree, hit, hvox)
+        has_color = hit & (voxel >= 0) & (voxel < I32(0x3FFFFFFE))
+        base = tree["palette"][jnp.clip(voxel, 0, tree["palette"].shape[0] - 1), :3]
+        rgb = jnp.where(has_color[:, None], base, 0.0)
+        for l in range(1, n_levels + 1):
+            key = f"mip_rgb_{l - 1}"
+            if key not in tree:
+                break
+            n = max(Si // 4**l, 1)
+            cv = jnp.clip(hvox // (4**l), 0, n - 1)
+            addr = cv[:, 0] + cv[:, 1] * n + cv[:, 2] * n * n
+            grid = tree[key]
+            mip = grid[jnp.clip(addr, 0, grid.shape[0] - 1)]
+            rgb = jnp.where(((hlev == l) & hit)[:, None], mip, rgb)
+        return rgb
+
     def trace(tree, o, dirv, start_t=None):
         state = init(tree, o, dirv, start_t)
         state = run(tree, state, max_iters)
@@ -480,9 +550,18 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         voxel = resolve_color(tree, hit, hvox)
         return hit, voxel, hvox, point, hnormal
 
+    def trace_lod(tree, o, dirv, start_t=None):
+        state = init(tree, o, dirv, start_t)
+        state = run(tree, state, max_iters)
+        point, hit, hvox, hnormal = state[0], state[11], state[12], state[13]
+        hlev = state[17]
+        rgb = resolve_rgb_lod(tree, hit, hvox, hlev)
+        return hit, rgb, hvox, point, hnormal
+
     trace.init = init
     trace.run = run
     trace.resolve_color = resolve_color
+    trace.trace_lod = trace_lod
     return trace
 
 
@@ -546,6 +625,7 @@ class BitGridRenderer:
 
         self._shade_batch = shade_batch
         self._prepass_cache = {}
+        self._lod_cache = {}
 
     def _prepass_fn(self, h, w, levels):
         """Jitted multi-level renderer: trace at 1/2**levels resolution, then
@@ -590,6 +670,39 @@ class BitGridRenderer:
         o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
         dv = jnp.asarray(directions, dtype=F32).reshape(-1, 3)
         return self._trace_jit(self.tree, o, dv)
+
+    def render_lod(self, camera, lod_scale: float, bg=(0.0, 0.0, 0.0)):
+        """Render with distance-based LOD: rays stop descending once a cell
+        subtends ~``1/lod_scale`` of its distance and shade from per-level
+        MIP colors (mixed-resolution rendering; the render-time analog of
+        the reference's MIP-brick probes)."""
+        if self.bitgrid.mip_rgb is None:
+            build_mip_colors(self.bitgrid)
+            self.tree = device_bitgrid(self.bitgrid)
+        key = float(lod_scale)
+        if key not in self._lod_cache:
+            tracer = make_bitgrid_tracer(
+                self.bitgrid, max_iters=self._max_iters, lod_scale=key
+            )
+
+            @jax.jit
+            def shade_lod(tree, origins, dirs, bgc):
+                hit, rgb, _hv, _hp, hnormal = tracer.trace_lod(tree, origins, dirs)
+                light = jnp.asarray([-0.5, 0.5, -0.5], dtype=F32)
+                lambert = jnp.sum(hnormal * light[None, :], axis=-1) / 2.0 + 0.5
+                lit = rgb * lambert[:, None]
+                return jnp.where(hit[:, None], lit, jnp.broadcast_to(bgc, lit.shape))
+
+            self._lod_cache[key] = shade_lod
+        origins, dirs = camera.rays()
+        h, w = origins.shape[:2]
+        rgb = self._lod_cache[key](
+            self.tree,
+            jnp.asarray(origins.reshape(-1, 3)),
+            jnp.asarray(dirs.reshape(-1, 3)),
+            jnp.asarray(bg, dtype=F32),
+        )
+        return np.asarray(rgb).reshape(h, w, 3)
 
     def trace_compacted(
         self, origins, directions, start_t=None, round_iters: int = 24,
