@@ -16,5 +16,7 @@ def fastest_renderer(flat, **kwargs):
     bitmap) renderer is the TPU-tuned hot path."""
     from voxelhex_tpu.render.bitgrid import BitGridRenderer
 
-    kwargs.setdefault("prepass", True)
+    # measured on TPU: compaction alone beats prepass+compaction (the extra
+    # prepass trace sessions cost more than the head start saves)
+    kwargs.setdefault("prepass", False)
     return BitGridRenderer(flat, **kwargs)
