@@ -72,7 +72,8 @@ def make_multihit_tracer(bg: BitGrid, max_hits: int = 4, max_iters: int = 2048):
             hit_new = jnp.zeros_like(hit)
             state = (state[0], state[1], state[2], state[3], state[4],
                      occ_lo, occ_hi, state[7], state[8], state[9],
-                     active, hit_new, state[12], state[13], state[14], state[15])
+                     active, hit_new, state[12], state[13], state[14],
+                     state[15], state[16], state[17])
             return state, voxels, dists
 
         for k in range(K):

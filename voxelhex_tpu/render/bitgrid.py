@@ -592,11 +592,30 @@ class BitGridRenderer:
                 hpoint.at[orig].set(state[0]),
             )
 
+        def _perm(active, bucket):
+            # cumsum-based stable compaction: ~10x cheaper than argsort.
+            # Actives pack to the front; unwritten tail slots default to lane
+            # 0 (harmless duplicate of a finished lane).
+            cur = active.shape[0]
+            pos = jnp.cumsum(active.astype(I32)) - 1
+            target = jnp.where(active, pos, bucket)  # OOB for inactive -> drop
+            return (
+                jnp.zeros(bucket, dtype=I32)
+                .at[target]
+                .set(jnp.arange(cur, dtype=I32), mode="drop")
+            )
+
+        def _apply_perm(state, orig, perm):
+            state = jax.tree.map(lambda a: a[perm], state)
+            return state, orig[perm]
+
         self._compact_fns = {
             "init": jax.jit(self._trace.init),
             "run": jax.jit(self._trace.run, static_argnums=2),
             "scatter": jax.jit(_scatter),
             "color": jax.jit(self._trace.resolve_color),
+            "perm": jax.jit(_perm, static_argnums=1),
+            "apply_perm": jax.jit(_apply_perm),
         }
         self._shade_only = jax.jit(
             lambda tree, hit, voxel, normal, bgc: _shade(tree, hit, voxel, normal, bgc)
@@ -721,13 +740,8 @@ class BitGridRenderer:
         R = o.shape[0]
         st = None if start_t is None else jnp.asarray(start_t).reshape(-1)
         state = fns["init"](self.tree, o, dv, st)
-        orig = jnp.arange(R, dtype=I32)
-
-        # full-size result accumulators
-        hit = jnp.zeros(R, dtype=jnp.bool_)
-        hvox = jnp.zeros((R, 3), dtype=I32)
-        hnormal = jnp.zeros((R, 3), dtype=F32)
-        hpoint = jnp.zeros((R, 3), dtype=F32)
+        orig = None  # None => identity mapping (no compaction happened yet)
+        hit = hvox = hnormal = hpoint = None
 
         total_iters = 0
         while True:
@@ -736,21 +750,33 @@ class BitGridRenderer:
             n_active = int(jnp.sum(state[10]))
             cur = state[0].shape[0]
             if n_active == 0 or total_iters >= self._max_iters:
-                hit, hvox, hnormal, hpoint = fns["scatter"](
-                    state, orig, hit, hvox, hnormal, hpoint
-                )
+                if orig is None:
+                    # never compacted: the state IS the full-frame result
+                    hit, hvox, hnormal, hpoint = (
+                        state[11], state[12], state[13], state[0]
+                    )
+                else:
+                    hit, hvox, hnormal, hpoint = fns["scatter"](
+                        state, orig, hit, hvox, hnormal, hpoint
+                    )
                 break
             bucket = cur
             while bucket // shrink >= max(n_active, min_bucket):
                 bucket //= shrink
             if bucket < cur:
-                # flush finished rays, keep actives in the smaller buffer
-                hit, hvox, hnormal, hpoint = fns["scatter"](
-                    state, orig, hit, hvox, hnormal, hpoint
-                )
-                perm = jnp.argsort(~state[10])[:bucket]
-                state = jax.tree.map(lambda a: a[perm] if a.ndim else a, state)
-                orig = orig[perm]
+                if orig is None:
+                    # first compaction: adopt the in-order state as the
+                    # accumulators (no scatter needed — indices are identity)
+                    hit, hvox, hnormal, hpoint = (
+                        state[11], state[12], state[13], state[0]
+                    )
+                    orig = jnp.arange(cur, dtype=I32)
+                else:
+                    hit, hvox, hnormal, hpoint = fns["scatter"](
+                        state, orig, hit, hvox, hnormal, hpoint
+                    )
+                perm = fns["perm"](state[10], bucket)
+                state, orig = fns["apply_perm"](state, orig, perm)
         voxel = fns["color"](self.tree, hit, hvox)
         return hit, voxel, hvox, hpoint, hnormal
 
