@@ -160,6 +160,91 @@ void pack_level(const uint8_t* grid, int32_t c,
             }
 }
 
+// Rasterize a window [wx, wx+wsize) x ... of the flat boxtree into dense
+// occ/colors buffers of wsize^3 (x-fastest), for the streaming layer: the
+// tree walk skips nodes outside the window, so paging a region touches only
+// overlapping content.
+void rasterize_window(const uint32_t* node_meta, const int32_t* node_children,
+                      const int32_t* bricks, int32_t n_nodes, int32_t n_bricks,
+                      int32_t brick_dim, int32_t S,
+                      int32_t wx, int32_t wy, int32_t wz, int32_t wsize,
+                      uint8_t* occ, uint16_t* colors) {
+    const int64_t W2 = (int64_t)wsize * wsize;
+    const int d = brick_dim;
+    std::vector<Frame> stack;
+    stack.push_back({0, 0, 0, 0, S});
+    auto paint_window = [&](int32_t desc, int x0, int y0, int z0, int extent) {
+        if (desc == EMPTY_DESC) return;
+        int lx = x0 > wx ? x0 : wx, hx = x0 + extent < wx + wsize ? x0 + extent : wx + wsize;
+        int ly = y0 > wy ? y0 : wy, hy = y0 + extent < wy + wsize ? y0 + extent : wy + wsize;
+        int lz = z0 > wz ? z0 : wz, hz = z0 + extent < wz + wsize ? z0 + extent : wz + wsize;
+        if (lx >= hx || ly >= hy || lz >= hz) return;
+        bool solid = desc & SOLID_FLAG;
+        const int32_t* brick = nullptr;
+        uint16_t sc = 0;
+        if (solid) {
+            int32_t v = desc & (SOLID_FLAG - 1);
+            sc = v >= COLOR_NONE ? COLOR_NONE : (uint16_t)v;
+        } else {
+            if (desc < 0 || desc >= n_bricks) return;
+            brick = bricks + (int64_t)desc * d * d * d;
+        }
+        for (int z = lz; z < hz; ++z)
+            for (int y = ly; y < hy; ++y)
+                for (int x = lx; x < hx; ++x) {
+                    int64_t di = (int64_t)(x - wx) + (int64_t)(y - wy) * wsize
+                        + (int64_t)(z - wz) * W2;
+                    if (solid) {
+                        occ[di] = 1;
+                        colors[di] = sc;
+                    } else {
+                        // voxel of the (possibly stretched) brick
+                        int bx_, by_, bz_;
+                        if (extent >= d) {
+                            int f = extent / d;
+                            bx_ = (x - x0) / f; by_ = (y - y0) / f; bz_ = (z - z0) / f;
+                        } else {
+                            bx_ = x - x0; by_ = y - y0; bz_ = z - z0;
+                        }
+                        int32_t v = brick[bx_ + by_ * d + bz_ * d * d];
+                        if (v == EMPTY_DESC) continue;
+                        occ[di] = 1;
+                        colors[di] = v >= COLOR_NONE ? COLOR_NONE : (uint16_t)v;
+                    }
+                }
+    };
+    while (!stack.empty()) {
+        Frame f = stack.back();
+        stack.pop_back();
+        if (f.key < 0 || f.key >= n_nodes) continue;
+        // skip nodes outside the window
+        if (f.x >= wx + wsize || f.y >= wy + wsize || f.z >= wz + wsize ||
+            f.x + f.size <= wx || f.y + f.size <= wy || f.z + f.size <= wz)
+            continue;
+        uint32_t meta = node_meta[f.key];
+        int cell = f.size / 4;
+        const int32_t* row = node_children + (int64_t)f.key * 64;
+        if (meta & 2) {
+            paint_window(row[0], f.x, f.y, f.z, f.size);
+        } else if (meta & 1) {
+            for (int s = 0; s < 64; ++s) {
+                if (row[s] == EMPTY_DESC) continue;
+                paint_window(row[s], f.x + (s % 4) * cell,
+                             f.y + ((s / 4) % 4) * cell,
+                             f.z + (s / 16) * cell, cell);
+            }
+        } else {
+            for (int s = 0; s < 64; ++s) {
+                int32_t child = row[s];
+                if (child < 0) continue;
+                stack.push_back({child, f.x + (s % 4) * cell,
+                                 f.y + ((s / 4) % 4) * cell,
+                                 f.z + (s / 16) * cell, cell});
+            }
+        }
+    }
+}
+
 // Rasterize a REGION^3 window from dense source coordinates: helper for the
 // streaming layer — copies with bounds clipping from a source grid.
 void copy_region(const uint8_t* src_occ, const uint16_t* src_col, int32_t S,

@@ -47,6 +47,10 @@ def load():
 
     lib.rasterize_flat.argtypes = [u32p, i32p, i32p, i32, i32, i32, i32, u8p, u16p]
     lib.rasterize_flat.restype = None
+    lib.rasterize_window.argtypes = [
+        u32p, i32p, i32p, i32, i32, i32, i32, i32, i32, i32, i32, u8p, u16p
+    ]
+    lib.rasterize_window.restype = None
     lib.pack_level.argtypes = [u8p, i32, u32p, u32p, u8p]
     lib.pack_level.restype = None
     lib.copy_region.argtypes = [u8p, u16p, i32, i32, i32, i32, i32, u8p, u16p]
@@ -103,3 +107,25 @@ def pack_pyramid(occ_flat: np.ndarray, S: int):
         grid = coarse
         c = n
     return levels_lo, levels_hi
+
+
+def rasterize_window(flat, wx: int, wy: int, wz: int, wsize: int):
+    """Dense (occ u8, colors u16) grids of one wsize^3 window (x-fastest),
+    walking only tree nodes overlapping the window.  None when the native
+    library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    occ = np.zeros(wsize * wsize * wsize, dtype=np.uint8)
+    colors = np.full(wsize * wsize * wsize, 0xFFFF, dtype=np.uint16)
+    meta = np.ascontiguousarray(flat.node_meta, dtype=np.uint32)
+    children = np.ascontiguousarray(flat.node_children, dtype=np.int32)
+    bricks = np.ascontiguousarray(flat.bricks, dtype=np.int32)
+    lib.rasterize_window(
+        meta, children, bricks,
+        np.int32(meta.shape[0]), np.int32(bricks.shape[0]),
+        np.int32(flat.brick_dim), np.int32(flat.size),
+        np.int32(wx), np.int32(wy), np.int32(wz), np.int32(wsize),
+        occ, colors,
+    )
+    return occ, colors

@@ -84,6 +84,7 @@ class StreamingView:
         """Tree edit callback: conservatively mark the affected node's world
         region(s) dirty (the reference re-uploads the access path,
         streaming/mod.rs:35-286)."""
+        self._flat = None  # host tree changed: stale snapshot
         # access_stack: [(node_key, sectant), ...] from the root; re-derive
         # the deepest node's bounds
         size = float(self.tree.size)
@@ -174,8 +175,17 @@ class StreamingView:
             if (x, y, z) not in self._resident
         }
 
+    def _flat_snapshot(self):
+        """Cached flat snapshot of the host tree for fast window walks."""
+        if getattr(self, "_flat", None) is None:
+            from voxelhex_tpu.tree.flat import flatten
+
+            self._flat = flatten(self.tree)
+        return self._flat
+
     def _rasterize_region(self, region):
-        """Fill one REGION^3 window region from the host tree."""
+        """Fill one REGION^3 window region from the host tree (native
+        clipped tree walk when available, per-voxel queries otherwise)."""
         x0, y0, z0 = (int(c) * REGION + o for c, o in zip(region, self.origin))
         sl = np.s_[
             region[0] * REGION : region[0] * REGION + REGION,
@@ -185,9 +195,20 @@ class StreamingView:
         occ = np.zeros((REGION, REGION, REGION), dtype=bool)
         col = np.full((REGION, REGION, REGION), COLOR_EMPTY, dtype=np.uint16)
         tree = self.tree
+
+        from voxelhex_tpu import native
+
+        nat = None
         if x0 < tree.size and y0 < tree.size and z0 < tree.size:
-            # query per voxel through the host tree (region granularity keeps
-            # this bounded; bulk scenes should pre-rasterize via build_bitgrid)
+            nat = native.rasterize_window(
+                self._flat_snapshot(), int(x0), int(y0), int(z0), REGION
+            )
+        if nat is not None:
+            occ_f, col_f = nat
+            # native layout is x-fastest flat -> [z, y, x]; mirrors are [x,y,z]
+            occ = occ_f.reshape(REGION, REGION, REGION).transpose(2, 1, 0) != 0
+            col = col_f.reshape(REGION, REGION, REGION).transpose(2, 1, 0)
+        elif x0 < tree.size and y0 < tree.size and z0 < tree.size:
             for dx in range(min(REGION, tree.size - x0)):
                 for dy in range(min(REGION, tree.size - y0)):
                     for dz in range(min(REGION, tree.size - z0)):
