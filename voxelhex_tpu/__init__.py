@@ -1,20 +1,17 @@
 """voxelhex_tpu — a TPU-native differentiable sparse-voxel renderer.
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities of the
-VoxelHex sparse voxel-brick 64-tree raytracer (Rust/WGPU), redesigned for
-TPU hardware:
+A from-scratch JAX/XLA framework with the capabilities of the VoxelHex
+sparse voxel-brick 64-tree raytracer (Rust/WGPU), redesigned for TPU
+hardware.  See ARCHITECTURE.md for the design and PERF.md for the hardware
+model that shaped it.
 
-* the boxtree lives as flat SoA device arrays (node metadata, children
-  descriptors, 64-bit occupancy bitmaps as u32 pairs, a brick pool and a
-  color palette) — :mod:`voxelhex_tpu.tree`;
-* scene editing (insert / clear / simplify / MIP resampling) is a host-side
-  builder with batched device uploads — :mod:`voxelhex_tpu.tree.boxtree`;
-* the octree-DDA ray-march runs as jitted JAX (and a Pallas kernel) with a
-  per-ray register stack — :mod:`voxelhex_tpu.render` and
-  :mod:`voxelhex_tpu.ops`;
-* pixel gradients flow back into voxel albedo — :mod:`voxelhex_tpu.diff`;
-* rays shard across device meshes with ``shard_map`` —
-  :mod:`voxelhex_tpu.parallel`.
+Quick start::
+
+    from voxelhex_tpu import BoxTree, Albedo, fastest_renderer, orbit_camera
+
+    tree = BoxTree(size=64, brick_dim=4)
+    tree.insert((1, 2, 3), Albedo.from_u32(0xFF0000FF))
+    image = fastest_renderer(tree).render(orbit_camera(64))
 """
 
 __version__ = "0.1.0"
@@ -27,11 +24,56 @@ from voxelhex_tpu.constants import (
     EMPTY_VOXEL,
 )
 
+
+def __getattr__(name):
+    # Lazy re-exports keep `import voxelhex_tpu` light (no JAX import until a
+    # renderer is actually requested).
+    if name in ("BoxTree", "Albedo", "Entry"):
+        from voxelhex_tpu.tree import boxtree
+
+        return getattr(boxtree, name)
+    if name == "flatten":
+        from voxelhex_tpu.tree.flat import flatten
+
+        return flatten
+    if name == "fastest_renderer":
+        from voxelhex_tpu.render import fastest_renderer
+
+        return fastest_renderer
+    if name in ("Camera", "orbit_camera"):
+        from voxelhex_tpu.render import camera
+
+        return getattr(camera, name)
+    if name in ("load_vox_tree", "load_vox_tree_cached", "load_vox_scene"):
+        from voxelhex_tpu.io import vox
+
+        return getattr(vox, name)
+    if name in ("save_tree", "load_tree", "save_flat", "load_flat"):
+        from voxelhex_tpu.io import checkpoint
+
+        return getattr(checkpoint, name)
+    raise AttributeError(f"module 'voxelhex_tpu' has no attribute '{name}'")
+
+
 __all__ = [
+    "Albedo",
     "BOX_NODE_CHILDREN_COUNT",
     "BOX_NODE_DIMENSION",
+    "BoxTree",
+    "Camera",
     "EMPTY_U16",
     "EMPTY_U32",
     "EMPTY_VOXEL",
+    "Entry",
+    "fastest_renderer",
+    "flatten",
+    "load_flat",
+    "load_tree",
+    "load_vox_scene",
+    "load_vox_tree",
+    "load_vox_tree_cached",
+    "orbit_camera",
+    "save_flat",
+    "save_tree",
     "__version__",
 ]
