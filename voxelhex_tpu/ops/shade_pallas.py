@@ -40,7 +40,8 @@ def shade_reference(hit, voxel, normal, palette, bg):
 def _shade_kernel(hit_ref, voxel_ref, normal_ref, bg_ref, palette_ref, out_ref):
     P = palette_ref.shape[0]
     voxel = voxel_ref[:]  # [TILE]
-    hit = hit_ref[:] != 0
+    hit_f = (hit_ref[:] != 0).astype(jnp.float32)  # keep masks 32-bit:
+    # Mosaic cannot insert a minor dim on packed bool vectors
     normal = normal_ref[:]  # [TILE, 3]
 
     # one-hot palette lookup on the MXU (exact: weights are 0/1)
@@ -51,15 +52,15 @@ def _shade_kernel(hit_ref, voxel_ref, normal_ref, bg_ref, palette_ref, out_ref):
         onehot, palette_ref[:, :3], preferred_element_type=jnp.float32
     )  # [TILE, 3]
 
-    has_color = hit & (voxel >= 0) & (voxel < P)
-    albedo = jnp.where(has_color[:, None], albedo, 0.0)
+    has_color = hit_f * ((voxel >= 0) & (voxel < P)).astype(jnp.float32)
+    albedo = albedo * has_color[:, None]
     # LIGHT inlined as literals (kernels cannot capture array constants)
     lambert = (
         normal[:, 0] * (-0.5) + normal[:, 1] * 0.5 + normal[:, 2] * (-0.5)
     ) / 2.0 + 0.5
     lit = albedo * lambert[:, None]
     bg = bg_ref[0, :]
-    out_ref[:] = jnp.where(hit[:, None], lit, bg[None, :])
+    out_ref[:] = lit * hit_f[:, None] + bg[None, :] * (1.0 - hit_f)[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
