@@ -85,3 +85,25 @@ def test_partial_budget_leaves_dirty():
         if view.update(np.array([11.0, 11.0, 11.0])) == 0:
             break
     assert len(view._dirty) == 0
+
+
+def test_delta_upload_matches_full_rebuild():
+    """Small edits go through the partial device-update path and must render
+    identically to a full rebuild."""
+    tree = make_tree()
+    view = StreamingView(tree, view_size=64, regions_per_update=4096)
+    cam = Camera(
+        origin=np.array([11.0, 11.0, -30.0]),
+        target=np.array([11.0, 11.0, 11.0]),
+        resolution=(32, 32),
+        fov_y_deg=30.0,
+    )
+    view.render(cam)  # full build
+    # a small edit -> few dirty regions -> delta path
+    tree.insert((11, 11, 11), GREEN)
+    assert 0 < len(view._dirty) <= 8
+    img_delta = view.render(cam)
+    # force a full rebuild and compare
+    view._mark_window_dirty()
+    img_full = view.render(cam)
+    np.testing.assert_allclose(img_delta, img_full, atol=1e-6)

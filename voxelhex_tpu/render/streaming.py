@@ -127,17 +127,23 @@ class StreamingView:
             self.origin = new_origin
 
         budget = self.regions_per_update
-        uploaded_any = False
+        uploaded = []
         while self._dirty and budget > 0:
             region = self._dirty.pop()
             self._rasterize_region(region)
             self._resident.add(region)
             budget -= 1
             self.uploads += 1
-            uploaded_any = True
+            uploaded.append(region)
 
-        if uploaded_any or self.renderer is None:
-            self._rebuild_device()
+        if self.renderer is None or len(uploaded) > (self._region_range() ** 3) // 10:
+            if uploaded or self.renderer is None:
+                self._rebuild_device()
+        elif uploaded:
+            # delta path: update only the touched device words (the
+            # reference's coalesced write_range_to_buffer analog,
+            # streaming/mod.rs:344-370)
+            self._update_device_partial(uploaded)
         return len(self._dirty)
 
     def _shift_window(self, shift):
@@ -221,6 +227,85 @@ class StreamingView:
                             col[dx, dy, dz] = 0xFFFE if ci == 0xFFFF else ci
         self._occ[sl] = occ
         self._col[sl] = col
+
+    def _update_device_partial(self, regions):
+        """Scatter the changed regions' colors and level-0 occupancy words
+        into the resident device arrays, then refresh the (tiny) coarse
+        levels wholesale."""
+        import jax.numpy as jnp
+
+        from voxelhex_tpu.render.bitgrid import _pack_bits
+
+        S = self.view_size
+        bg = self.renderer.bitgrid
+        tree_dev = self.renderer.tree
+        nb = S // 4
+
+        col_idx = []
+        col_val = []
+        blk_idx = []
+        blk_val = []
+        for region in regions:
+            x0, y0, z0 = (int(c) * REGION for c in region)
+            sub_occ = self._occ[x0 : x0 + REGION, y0 : y0 + REGION, z0 : z0 + REGION]
+            sub_col = self._col[x0 : x0 + REGION, y0 : y0 + REGION, z0 : z0 + REGION]
+            # flat color addresses (x fastest)
+            xs = np.arange(x0, x0 + REGION)
+            ys = np.arange(y0, y0 + REGION)
+            zs = np.arange(z0, z0 + REGION)
+            ax = xs[:, None, None] + ys[None, :, None] * S + zs[None, None, :] * S * S
+            col_idx.append(ax.ravel())
+            col_val.append(sub_col.ravel())
+            # level-0 word pairs of the region's 4^3 blocks
+            lo, hi, coarse = _pack_bits(sub_occ)
+            n = REGION // 4
+            bx = np.arange(x0 // 4, x0 // 4 + n)
+            by = np.arange(y0 // 4, y0 // 4 + n)
+            bz = np.arange(z0 // 4, z0 // 4 + n)
+            ab = bx[:, None, None] + by[None, :, None] * nb + bz[None, None, :] * nb * nb
+            # _pack_bits flattens x-fastest: order (bz, by, bx) -> transpose
+            blk_idx.append(ab.transpose(2, 1, 0).ravel())
+            blk_val.append(np.stack([lo, hi], axis=1))
+            # update the host pyramid mirror for level 0
+            bg.occ_lo[ab.transpose(2, 1, 0).ravel()] = lo
+            bg.occ_hi[ab.transpose(2, 1, 0).ravel()] = hi
+
+        col_idx = np.concatenate(col_idx)
+        col_val = np.concatenate(col_val)
+        blk_idx = np.concatenate(blk_idx)
+        blk_val = np.concatenate(blk_val)
+        bg.colors[col_idx] = col_val
+
+        # rebuild the coarse levels (tiny) from the level-0 coarse map
+        n0 = nb
+        coarse0 = (
+            (bg.occ_lo[: n0**3] | bg.occ_hi[: n0**3]) != 0
+        ).reshape(n0, n0, n0).transpose(2, 1, 0)  # [x, y, z]
+        levels_lo = [bg.occ_lo[: n0**3]]
+        levels_hi = [bg.occ_hi[: n0**3]]
+        grid = coarse0
+        while grid.shape[0] > 1:
+            lo, hi, coarse = _pack_bits(grid)
+            levels_lo.append(lo)
+            levels_hi.append(hi)
+            grid = coarse
+        bg.occ_lo = np.concatenate(levels_lo)
+        bg.occ_hi = np.concatenate(levels_hi)
+
+        # device updates: colors scatter, level-0 pairs scatter, coarse block
+        occ_pairs = tree_dev["occ_pairs"]
+        occ_pairs = occ_pairs.at[jnp.asarray(blk_idx)].set(
+            jnp.asarray(blk_val.astype(np.uint32))
+        )
+        base1 = n0**3
+        coarse_pairs = np.stack(
+            [bg.occ_lo[base1:], bg.occ_hi[base1:]], axis=1
+        ).astype(np.uint32)
+        occ_pairs = occ_pairs.at[base1:].set(jnp.asarray(coarse_pairs))
+        tree_dev["occ_pairs"] = occ_pairs
+        tree_dev["colors"] = tree_dev["colors"].at[jnp.asarray(col_idx)].set(
+            jnp.asarray(col_val)
+        )
 
     def _rebuild_device(self):
         """Repack the pyramid and refresh the device arrays."""
