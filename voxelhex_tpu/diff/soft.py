@@ -52,7 +52,7 @@ def make_multihit_tracer(bg: BitGrid, max_hits: int = 4, max_iters: int = 2048):
         state = base.init(tree, o, dirv, None)
 
         def record(state, voxels, dists, k):
-            state = base.run(tree, state, max_iters)
+            state, _n_active = base.run(tree, state, max_iters)
             hit, hvox = state[11], state[12]
             point = state[0]
             voxels = voxels.at[:, k, :].set(jnp.where(hit[:, None], hvox, -1))

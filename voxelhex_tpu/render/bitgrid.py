@@ -503,7 +503,8 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
     ACTIVE = 10
 
     def run(tree, state, iters):
-        """Advance the automaton by up to ``iters`` iterations."""
+        """Advance the automaton by up to ``iters`` iterations; returns
+        (state, n_active) so the host round loop needs one transfer."""
 
         def cond(carry):
             st, i = carry
@@ -514,7 +515,7 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
             return body(tree, st), i + 1
 
         state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
-        return state
+        return state, jnp.sum(state[ACTIVE])
 
     def resolve_color(tree, hit, hvox):
         v = jnp.clip(hvox, 0, Si - 1)
@@ -545,14 +546,14 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
 
     def trace(tree, o, dirv, start_t=None):
         state = init(tree, o, dirv, start_t)
-        state = run(tree, state, max_iters)
+        state, _ = run(tree, state, max_iters)
         point, hit, hvox, hnormal = state[0], state[11], state[12], state[13]
         voxel = resolve_color(tree, hit, hvox)
         return hit, voxel, hvox, point, hnormal
 
     def trace_lod(tree, o, dirv, start_t=None):
         state = init(tree, o, dirv, start_t)
-        state = run(tree, state, max_iters)
+        state, _ = run(tree, state, max_iters)
         point, hit, hvox, hnormal = state[0], state[11], state[12], state[13]
         hlev = state[17]
         rgb = resolve_rgb_lod(tree, hit, hvox, hlev)
@@ -609,11 +610,18 @@ class BitGridRenderer:
             state = jax.tree.map(lambda a: a[perm], state)
             return state, orig[perm]
 
+        resolve_color = self._trace.resolve_color
+
+        def _finish(tree, hit, hvox, hnormal, bgc):
+            voxel = resolve_color(tree, hit, hvox)
+            return voxel, _shade(tree, hit, voxel, hnormal, bgc)
+
         self._compact_fns = {
             "init": jax.jit(self._trace.init),
             "run": jax.jit(self._trace.run, static_argnums=2),
             "scatter": jax.jit(_scatter),
             "color": jax.jit(self._trace.resolve_color),
+            "finish": jax.jit(_finish),
             "perm": jax.jit(_perm, static_argnums=1),
             "apply_perm": jax.jit(_apply_perm),
         }
@@ -725,7 +733,7 @@ class BitGridRenderer:
 
     def trace_compacted(
         self, origins, directions, start_t=None, round_iters: int = 24,
-        shrink: int = 4, min_bucket: int = 8192,
+        shrink: int = 4, min_bucket: int = 8192, shade_bg=None,
     ):
         """Trace with straggler compaction: run fixed-iteration rounds and
         periodically pack the still-active rays into a 1/shrink-size buffer,
@@ -745,9 +753,9 @@ class BitGridRenderer:
 
         total_iters = 0
         while True:
-            state = fns["run"](self.tree, state, round_iters)
+            state, n_active_dev = fns["run"](self.tree, state, round_iters)
             total_iters += round_iters
-            n_active = int(jnp.sum(state[10]))
+            n_active = int(n_active_dev)
             cur = state[0].shape[0]
             if n_active == 0 or total_iters >= self._max_iters:
                 if orig is None:
@@ -777,6 +785,10 @@ class BitGridRenderer:
                     )
                 perm = fns["perm"](state[10], bucket)
                 state, orig = fns["apply_perm"](state, orig, perm)
+        if shade_bg is not None:
+            # fused color + shade: one dispatch for the whole finish
+            voxel, rgb = fns["finish"](self.tree, hit, hvox, hnormal, shade_bg)
+            return hit, voxel, hvox, hpoint, hnormal, rgb
         voxel = fns["color"](self.tree, hit, hvox)
         return hit, voxel, hvox, hpoint, hnormal
 
@@ -833,11 +845,15 @@ class BitGridRenderer:
                 ld = jnp.asarray(pd.reshape(-1, 3))
             else:
                 lo, ld = o, dv
-            hit, voxel, _hv, hpoint, hnormal = self.trace_compacted(
+            if i == 0:
+                _hit, _v, _hv, _hp, _hn, rgb = self.trace_compacted(
+                    lo, ld,
+                    start_t=None if start is None else start.reshape(-1),
+                    shade_bg=bgc,
+                )
+                return np.asarray(rgb).reshape(h, w, 3)
+            hit, _voxel, _hv, hpoint, _hn = self.trace_compacted(
                 lo, ld, start_t=None if start is None else start.reshape(-1)
             )
-            if i == 0:
-                rgb = self._shade_only(self.tree, hit, voxel, hnormal, bgc)
-                return np.asarray(rgb).reshape(h, w, 3)
             start = self._depth_start(hit, hpoint, lo, h // f_, w // f_)
         raise AssertionError("unreachable")
