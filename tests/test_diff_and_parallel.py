@@ -145,3 +145,36 @@ def test_sharded_train_step_matches_single_device(small_scene, rays):
     np.testing.assert_allclose(
         np.asarray(params2), np.asarray(ref_params_t), atol=1e-5
     )
+
+
+def test_albedo_gradient_matches_finite_differences(small_scene, rays):
+    """Autodiff pixel-gradients w.r.t. albedo match central finite
+    differences (the BASELINE gradient-parity gate)."""
+    origins, dirs = rays
+    # a small ray subset keeps the FD loop cheap
+    o = jnp.asarray(origins[:200])
+    d = jnp.asarray(dirs[:200])
+    diff = DiffRenderer(small_scene)
+    params = diff.init_params()
+    target = jnp.zeros((200, 3))
+
+    loss = lambda p: diff.loss(p, o, d, target)
+    g = np.asarray(jax.grad(loss)(params))
+
+    # check the 5 largest-gradient voxels with central differences
+    flat_idx = np.argsort(-np.abs(g).sum(axis=-1).ravel())[:5]
+    eps = 1e-3
+    base = np.asarray(params)
+    for fi in flat_idx:
+        b, c, ch = np.unravel_index(fi, g.shape)
+        p_plus = base.copy()
+        p_plus[b, c, ch] += eps
+        p_minus = base.copy()
+        p_minus[b, c, ch] -= eps
+        fd = (float(loss(jnp.asarray(p_plus))) - float(loss(jnp.asarray(p_minus)))) / (
+            2 * eps
+        )
+        assert abs(fd - g[b, c, ch]) < 1e-3 + 0.05 * abs(fd), (
+            fd,
+            g[b, c, ch],
+        )
