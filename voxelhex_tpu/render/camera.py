@@ -32,6 +32,31 @@ class Camera:
         up = np.cross(forward, right)
         return forward, right, up
 
+    def view_matrix(self) -> np.ndarray:
+        """Right-handed look-at view matrix (reference:
+        src/raytracing/bevy/view.rs:211-239)."""
+        forward, right, up = self.basis()
+        eye = np.asarray(self.origin, dtype=np.float32)
+        m = np.eye(4, dtype=np.float32)
+        m[0, :3], m[1, :3], m[2, :3] = right, up, -forward
+        m[0, 3] = -float(np.dot(right, eye))
+        m[1, 3] = -float(np.dot(up, eye))
+        m[2, 3] = float(np.dot(forward, eye))
+        return m
+
+    def projection_matrix(self, near: float = 0.1, far: float = 4096.0) -> np.ndarray:
+        """Perspective projection from fov/aspect (reference: view.rs:211-239)."""
+        w, h = self.resolution
+        aspect = w / h
+        f = 1.0 / np.tan(np.radians(self.fov_y_deg) / 2.0)
+        m = np.zeros((4, 4), dtype=np.float32)
+        m[0, 0] = f / aspect
+        m[1, 1] = f
+        m[2, 2] = (far + near) / (near - far)
+        m[2, 3] = 2.0 * far * near / (near - far)
+        m[3, 2] = -1.0
+        return m
+
     def rays(self):
         """Returns (origins [H,W,3] f32, directions [H,W,3] f32, normalized).
 
