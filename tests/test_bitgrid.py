@@ -146,3 +146,20 @@ def test_lod_rendering():
     assert (coarse.sum(-1) > 0).mean() >= (full.sum(-1) > 0).mean() - 0.01
     assert abs(coarse.mean() - full.mean()) < 0.05
     assert np.isfinite(coarse).all()
+
+
+def test_resolve_entries_returns_user_data():
+    """Device hits resolve to full entries (color + user data) via the host
+    tree — the get_by_ray entry parity path."""
+    from voxelhex_tpu.tree.boxtree import Entry
+
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert((2, 3, 4), Entry(albedo=RED, data=42))
+    tree.insert((5, 3, 4), Entry(data=7))  # colorless data voxel
+    r = BitGridRenderer(tree)
+    o = np.array([[2.5, 3.5, -3.0], [5.5, 3.5, -3.0]], dtype=np.float32)
+    d = np.tile(np.array([[0, 0, 1.0]], dtype=np.float32), (2, 1))
+    hit, voxel, hvox, _, _ = r.trace(o, d)
+    entries = r.resolve_entries(tree, hit, hvox)
+    assert entries[0].albedo == RED and entries[0].data == 42
+    assert entries[1].albedo is None and entries[1].data == 7

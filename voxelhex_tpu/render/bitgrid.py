@@ -698,6 +698,19 @@ class BitGridRenderer:
         dv = jnp.asarray(directions, dtype=F32).reshape(-1, 3)
         return self._trace_jit(self.tree, o, dv)
 
+    @staticmethod
+    def resolve_entries(host_tree, hit, hvox):
+        """Full BoxTreeEntry (color AND user data) per hit ray, resolved
+        through the host tree — the device path carries only render data,
+        like the reference GPU mirror (src/raytracing/bevy/types.rs), while
+        queries needing user data go through the authoritative tree."""
+        hit = np.asarray(hit)
+        hvox = np.asarray(hvox)
+        out = []
+        for h, v in zip(hit, hvox):
+            out.append(host_tree.get(tuple(int(c) for c in v)) if h else None)
+        return out
+
     def render_lod(self, camera, lod_scale: float, bg=(0.0, 0.0, 0.0)):
         """Render with distance-based LOD: rays stop descending once a cell
         subtends ~``1/lod_scale`` of its distance and shade from per-level
