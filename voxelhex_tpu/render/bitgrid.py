@@ -765,11 +765,15 @@ class BitGridRenderer:
         hit = hvox = hnormal = hpoint = None
 
         total_iters = 0
+        R0 = R
         while True:
-            state, n_active_dev = fns["run"](self.tree, state, round_iters)
-            total_iters += round_iters
-            n_active = int(n_active_dev)
             cur = state[0].shape[0]
+            # full-size rounds stay short (compaction opportunity); compacted
+            # buckets run long rounds to amortize dispatch latency
+            iters = round_iters if cur >= R0 else 4 * round_iters
+            state, n_active_dev = fns["run"](self.tree, state, iters)
+            total_iters += iters
+            n_active = int(n_active_dev)
             if n_active == 0 or total_iters >= self._max_iters:
                 if orig is None:
                     # never compacted: the state IS the full-frame result
