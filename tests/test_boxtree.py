@@ -427,3 +427,92 @@ def test_node_count_shrinks_after_clear():
     tree.clear_at_lod((0, 0, 0), 16)
     assert tree.node_count <= n_full
     assert tree.node(tree.ROOT).ntype == NOTHING
+
+
+def test_clear_at_lod_with_unaligned_position_where_dim_is_1():
+    """Reference: update/tests.rs:1419 — clearing a 2-cube at (1,1,1) erases
+    exactly the 8 voxels of cells [1,3)^3."""
+    albedo = Albedo.from_u32(0xFFAAEEFF)
+    tree = BoxTree(16, 1)
+    tree.insert_at_lod((0, 0, 0), 4, albedo)
+    tree.clear_at_lod((1, 1, 1), 2)
+    for p in [(1, 1, 1), (1, 1, 2), (1, 2, 1), (1, 2, 2),
+              (2, 1, 1), (2, 1, 2), (2, 2, 1), (2, 2, 2)]:
+        assert tree.get(p).is_none, p
+    for p in [(0, 0, 2), (0, 2, 0), (0, 2, 2), (2, 0, 0), (2, 0, 2),
+              (2, 2, 0), (2, 2, 3)]:
+        assert tree.get(p).is_some, p
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(4) for y in range(4) for z in range(4)
+    )
+    assert hits == 64 - 8
+    check_occupancy_invariants(tree)
+
+
+def test_clear_at_lod_with_unaligned_position_where_dim_is_4():
+    """Reference: update/tests.rs:1474 — accepts either 27 or 64 voxels
+    cleared depending on how the uniform region was stored."""
+    albedo = Albedo.from_u32(0xFFAAEEFF)
+    tree = BoxTree(16, 4)
+    tree.insert_at_lod((0, 0, 0), 8, albedo)
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(8) for y in range(8) for z in range(8)
+    )
+    assert hits == 512
+    tree.clear_at_lod((1, 1, 1), 4)
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(8) for y in range(8) for z in range(8)
+    )
+    assert hits in (512 - 27, 512 - 64), hits
+    check_occupancy_invariants(tree)
+
+
+def test_clear_at_lod_with_unaligned_size_where_dim_is_1():
+    """Reference: update/tests.rs:1528 — clear size 3 erases a 3^3 corner."""
+    albedo = Albedo.from_u32(0xFFAAEEFF)
+    tree = BoxTree(16, 1)
+    tree.insert_at_lod((0, 0, 0), 4, albedo)
+    tree.clear_at_lod((0, 0, 0), 3)
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(4) for y in range(4) for z in range(4)
+    )
+    assert hits == 64 - 27
+    check_occupancy_invariants(tree)
+
+
+def test_clear_at_lod_with_unaligned_size_where_dim_is_4():
+    albedo = Albedo.from_u32(0xFFAAEEFF)
+    tree = BoxTree(16, 4)
+    tree.insert_at_lod((0, 0, 0), 4, albedo)
+    tree.clear_at_lod((0, 0, 0), 3)
+    hits = sum(
+        tree.get((x, y, z)).is_some
+        for x in range(8) for y in range(8) for z in range(8)
+    )
+    assert hits == 64 - 27
+    check_occupancy_invariants(tree)
+
+
+def test_uniform_parted_brick_leaf_separated_by_clear_where_dim_is_4():
+    """Reference: update/tests.rs:567 — a uniform node holding a PARTED brick
+    (from simplification) splits correctly when partially cleared."""
+    tree = BoxTree(16, 4)
+    # build a non-solid but repeating 16^3 pattern so simplification can
+    # produce a uniform parted representation
+    for x in range(16):
+        for y in range(16):
+            for z in range(16):
+                if (x // 4 + y // 4 + z // 4) % 2 == 0:
+                    tree.insert((x, y, z), RED)
+    tree.simplify(tree.ROOT, recursive=True)
+    tree.clear((0, 0, 0))
+    assert tree.get((0, 0, 0)).is_none
+    # the rest of the pattern survives
+    for p in [(1, 0, 0), (0, 1, 0), (8, 8, 8), (3, 3, 3)]:
+        expect = ((p[0] // 4 + p[1] // 4 + p[2] // 4) % 2 == 0)
+        assert tree.get(p).is_some == expect, p
+    check_occupancy_invariants(tree)
