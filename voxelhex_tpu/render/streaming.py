@@ -332,7 +332,15 @@ class StreamingView:
             colors=self._col.transpose(2, 1, 0).ravel(),
             palette=palette,
         )
-        self.renderer = BitGridRenderer(bg)
+        if self.renderer is None:
+            self.renderer = BitGridRenderer(bg)
+        else:
+            # the tracer's structure (levels/bases/dims) only depends on the
+            # view size, so re-upload arrays instead of re-jitting
+            from voxelhex_tpu.render.bitgrid import device_bitgrid
+
+            self.renderer.bitgrid = bg
+            self.renderer.tree = device_bitgrid(bg)
 
     # ------------------------------------------------------------------
 
