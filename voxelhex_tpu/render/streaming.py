@@ -319,8 +319,13 @@ class StreamingView:
         bases = np.zeros(len(levels_lo), dtype=np.int64)
         for i in range(1, len(levels_lo)):
             bases[i] = bases[i - 1] + len(levels_lo[i - 1])
+        # pad the palette to a stable power-of-two row count so edits that
+        # add colors don't change jitted shapes (avoids recompiles)
         n_colors = max(1, len(self.tree.color_palette))
-        palette = np.zeros((n_colors, 4), dtype=np.float32)
+        n_rows = 64
+        while n_rows < n_colors:
+            n_rows *= 2
+        palette = np.zeros((n_rows, 4), dtype=np.float32)
         for i, c in enumerate(self.tree.color_palette):
             palette[i] = [c.r / 255.0, c.g / 255.0, c.b / 255.0, c.a / 255.0]
         bg = BitGrid(
