@@ -31,8 +31,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from voxelhex_tpu.io.vox import load_vox_tree
+    from voxelhex_tpu.render import fastest_renderer
     from voxelhex_tpu.render.camera import orbit_camera
-    from voxelhex_tpu.render.jax_renderer import JaxRenderer
     from voxelhex_tpu.tree.flat import flatten
     from voxelhex_tpu.utils.png import write_png
 
@@ -43,14 +43,24 @@ def main():
     print(f"loaded {args.vox}: tree size {tree.size}, {tree.node_count} nodes, "
           f"{len(tree.color_palette)} colors in {time.time()-t0:.2f}s")
 
-    t0 = time.time()
-    flat = flatten(tree)
-    print(f"flattened: {flat.n_nodes} nodes, {flat.n_bricks} bricks "
-          f"({flat.bricks.nbytes/1e6:.1f} MB brick pool) in {time.time()-t0:.2f}s")
+    if tree.size > 512:
+        # vast scene: render through the streaming window instead of a dense
+        # whole-world build
+        from voxelhex_tpu.render.streaming import StreamingView
 
-    renderer = JaxRenderer(flat)
-    cam = orbit_camera(flat.size, yaw_deg=args.yaw, pitch_deg=args.pitch,
-                       resolution=(w, h))
+        print(f"world {tree.size} > 512: using the streaming view window")
+        renderer = StreamingView(tree, view_size=256, regions_per_update=100000)
+        cam = orbit_camera(256.0, yaw_deg=args.yaw, pitch_deg=args.pitch,
+                           resolution=(w, h))
+    else:
+        t0 = time.time()
+        flat = flatten(tree)
+        print(f"flattened: {flat.n_nodes} nodes, {flat.n_bricks} bricks "
+              f"({flat.bricks.nbytes/1e6:.1f} MB brick pool) in {time.time()-t0:.2f}s")
+
+        renderer = fastest_renderer(flat)
+        cam = orbit_camera(flat.size, yaw_deg=args.yaw, pitch_deg=args.pitch,
+                           resolution=(w, h))
 
     t0 = time.time()
     img = renderer.render(cam)

@@ -516,3 +516,44 @@ def test_uniform_parted_brick_leaf_separated_by_clear_where_dim_is_4():
         expect = ((p[0] // 4 + p[1] // 4 + p[2] // 4) % 2 == 0)
         assert tree.get(p).is_some == expect, p
     check_occupancy_invariants(tree)
+
+
+# ---------------------------------------------------------------------------
+# iterate helpers: access_stack / node_at
+# (reference: src/boxtree/iterate.rs:125-169, :293-343)
+# ---------------------------------------------------------------------------
+
+
+def test_access_stack_descends_to_leaf():
+    tree = BoxTree(64, 4, auto_simplify=False)
+    tree.insert((1, 2, 3), Albedo.from_u32(0xFF0000FF))
+    stack = tree.access_stack((1, 2, 3))
+    # 64-tree with brick 4: root(64) -> node(16) -> leaf level(4-brick)
+    assert stack[0][0] == tree.ROOT
+    assert stack[0][2] == 64.0
+    sizes = [s for _, _, s in stack]
+    assert sizes == sorted(sizes, reverse=True)
+    assert len(stack) >= 2
+    # every entry's bounds must contain the position
+    for _, bmin, bsize in stack:
+        assert (bmin <= [1, 2, 3]).all() and ([1, 2, 3] < bmin + bsize).all()
+
+
+def test_access_stack_outside_and_unallocated():
+    tree = BoxTree(64, 4, auto_simplify=False)
+    tree.insert((1, 1, 1), Albedo.from_u32(0xFF0000FF))
+    assert tree.access_stack((70, 0, 0)) == []
+    # inside the tree but in an untouched region: path stops at the root
+    stack = tree.access_stack((60, 60, 60))
+    assert [k for k, _, _ in stack] == [tree.ROOT]
+
+
+def test_node_at_matches_stack_and_siblings():
+    tree = BoxTree(64, 4, auto_simplify=False)
+    tree.insert((0, 0, 0), Albedo.from_u32(0xFF0000FF))
+    tree.insert((63, 63, 63), Albedo.from_u32(0x00FF00FF))
+    a = tree.node_at((0, 0, 0))
+    b = tree.node_at((63, 63, 63))
+    assert a is not None and b is not None and a != b
+    assert tree.node_at((200, 0, 0)) is None
+    assert tree.access_stack((0, 0, 0))[-1][0] == a

@@ -220,3 +220,50 @@ def test_brick_occupied_bits_matches_incremental():
                         expect = set_occupied_bits([x, y, z], 1, d, True, expect)
         got = brick_occupied_bits(mask)
         assert got == expect, f"dim {d}"
+
+
+# ---------------------------------------------------------------------------
+# coordinate-system conversion (reference: src/spatial/math/mod.rs:157-194)
+# ---------------------------------------------------------------------------
+
+
+def test_convert_coordinate_identity_and_vox_convention():
+    from voxelhex_tpu.spatial.math import convert_coordinate
+
+    v = np.array([1, 2, 3])
+    for sysname in ("Lzup", "Lyup", "Rzup", "Ryup"):
+        np.testing.assert_array_equal(convert_coordinate(v, sysname, sysname), v)
+    # MagicaVoxel (Rzup) -> tree (Lyup): the importer's y/z swap
+    np.testing.assert_array_equal(convert_coordinate(v, "Rzup", "Lyup"), [1, 3, 2])
+
+
+def test_convert_coordinate_round_trips():
+    from voxelhex_tpu.spatial.math import convert_coordinate
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(-50, 50, (20, 3))
+    # pairs whose two directions are exact inverses in the reference table
+    for a, b in [
+        ("Lyup", "Ryup"), ("Lzup", "Rzup"),
+        ("Lyup", "Lzup"), ("Ryup", "Rzup"),
+        ("Rzup", "Lyup"), ("Lzup", "Ryup"),
+    ]:
+        back = convert_coordinate(convert_coordinate(v, a, b), b, a)
+        np.testing.assert_array_equal(back, v)
+
+
+def test_convert_coordinate_hand_flip_negates_one_axis():
+    from voxelhex_tpu.spatial.math import convert_coordinate
+
+    v = np.array([4.0, 5.0, 6.0])
+    np.testing.assert_array_equal(convert_coordinate(v, "Lyup", "Ryup"), [4, 5, -6])
+    np.testing.assert_array_equal(convert_coordinate(v, "Rzup", "Lzup"), [4, -5, 6])
+    np.testing.assert_array_equal(convert_coordinate(v, "Ryup", "Rzup"), [4, -6, 5])
+    np.testing.assert_array_equal(convert_coordinate(v, "Rzup", "Ryup"), [4, 6, -5])
+
+
+def test_convert_coordinate_rejects_unknown_system():
+    from voxelhex_tpu.spatial.math import convert_coordinate
+
+    with pytest.raises(ValueError):
+        convert_coordinate([1, 2, 3], "Rzup", "Qzup")

@@ -254,3 +254,35 @@ def dda_step_to_next_sibling(direction, ray_point, cell_min, cell_size, scale_fa
     new_p = p + d * np.float32(min_step)
     step = np.where(dists == min_step, signum, 0.0).astype(np.float32)
     return new_p, step
+
+
+# Coordinate-system conversion between the handedness/up conventions that the
+# .vox importer deals in (reference: convert_coordinate,
+# src/spatial/math/mod.rs:157-194).  Systems are named by handedness (L/R) and
+# up axis (yup/zup).  The mapping table mirrors the reference exactly,
+# including its quirk that every cross hand-and-up conversion shares the
+# single swap formula (x, z, y).
+LZUP, LYUP, RZUP, RYUP = "Lzup", "Lyup", "Rzup", "Ryup"
+_COORD_SYSTEMS = (LZUP, LYUP, RZUP, RYUP)
+
+
+def convert_coordinate(c, src: str, dst: str):
+    """Convert 3-vector(s) ``c`` (shape ``[..., 3]``) from coordinate system
+    ``src`` to ``dst``.  MagicaVoxel is Rzup; the tree is Lyup."""
+    if src not in _COORD_SYSTEMS or dst not in _COORD_SYSTEMS:
+        raise ValueError(f"unknown coordinate system in {src!r} -> {dst!r}")
+    c = np.asarray(c)
+    x, y, z = c[..., 0], c[..., 1], c[..., 2]
+    if src == dst:
+        out = (x, y, z)
+    elif {src, dst} == {LYUP, RYUP}:
+        out = (x, y, -z)
+    elif {src, dst} == {LZUP, RZUP}:
+        out = (x, -y, z)
+    elif (src, dst) in ((LYUP, LZUP), (RYUP, RZUP)):
+        out = (x, -z, y)
+    elif (src, dst) in ((LZUP, LYUP), (RZUP, RYUP)):
+        out = (x, z, -y)
+    else:  # hand and up axis both differ
+        out = (x, z, y)
+    return np.stack(np.broadcast_arrays(*out), axis=-1)

@@ -942,6 +942,36 @@ class BoxTree:
         ((0, 0, 1), SIDE_BACK),
     )
 
+    def access_stack(self, position):
+        """Root-to-lowest-node path covering ``position`` as a list of
+        ``(key, bounds_min, bounds_size)`` tuples; empty when the position is
+        outside the tree (reference: get_access_stack_for,
+        src/boxtree/iterate.rs:125-169)."""
+        pos = np.asarray(position, dtype=np.float64)
+        bmin, bsize = self._root_bounds()
+        if not cube_contains(bmin, bsize, pos):
+            return []
+        key = self.ROOT
+        stack = [(key, bmin.copy(), bsize)]
+        while True:
+            node = self.node(key)
+            if node.ntype != INTERNAL:
+                return stack
+            sectant = offset_sectant(pos - bmin, bsize)
+            child = node.child(sectant)
+            if not self.key_is_valid(child):
+                return stack
+            bmin_arr, bsize = child_bounds_for(bmin, bsize, sectant)
+            bmin = bmin_arr.astype(np.float64)
+            key = child
+            stack.append((key, bmin.copy(), bsize))
+
+    def node_at(self, position):
+        """Key of the lowest allocated node containing ``position``, or None
+        (reference: get_node_internal, src/boxtree/iterate.rs:293-343)."""
+        stack = self.access_stack(position)
+        return stack[-1][0] if stack else None
+
     def _sibling_at(self, node_min, node_size, direction):
         """Node occupying the same-size cell adjacent in ``direction``;
         None when absent (functional equivalent of reference
