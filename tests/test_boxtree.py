@@ -557,3 +557,217 @@ def test_node_at_matches_stack_and_siblings():
     assert a is not None and b is not None and a != b
     assert tree.node_at((200, 0, 0)) is None
     assert tree.access_stack((0, 0, 0))[-1][0] == a
+
+
+# ---------------------------------------------------------------------------
+# sibling-jump scenarios (reference: src/boxtree/tests.rs:12-473,
+# test_sibling_jump_*) expressed against the sibling_at API
+# ---------------------------------------------------------------------------
+
+RED = Albedo.from_u32(0x640000FF)
+
+
+def test_sibling_jump_to_internal_sibling():
+    """Both voxels land in the same leaf node: the jump stays inside it
+    (reference: src/boxtree/tests.rs:12)."""
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    start = (507, 331, 0)
+    tree.insert(start, RED)
+    tree.insert((511, 331, 0), RED)
+    assert tree.node_at(start) == tree.node_at((511, 331, 0))
+    sib = tree.sibling_at(start, (1, 0, 0))
+    assert sib is not None
+    key, bmin, bsize = sib
+    assert key == tree.node_at(start)  # same node, next sectant
+
+
+def test_sibling_jump_to_hit_in_parent():
+    """Step crosses a leaf boundary: the sibling is found via the parent
+    (reference: src/boxtree/tests.rs:103)."""
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    start, other = (495, 331, 0), (496, 331, 0)
+    tree.insert(start, RED)
+    tree.insert(other, RED)
+    assert tree.node_at(start) != tree.node_at(other)
+    sib = tree.sibling_at(start, (1, 0, 0))
+    assert sib is not None and sib[0] == tree.node_at(other)
+
+
+def test_sibling_jump_to_hit_in_root():
+    """Step crosses a root-sectant boundary (reference:
+    src/boxtree/tests.rs:194)."""
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    start, other = (511, 331, 0), (512, 331, 0)
+    tree.insert(start, RED)
+    tree.insert(other, RED)
+    assert tree.node_at(start) != tree.node_at(other)
+    sib = tree.sibling_at(start, (1, 0, 0))
+    assert sib is not None and sib[0] == tree.node_at(other)
+
+
+def test_sibling_jump_to_higher_level_leaf():
+    """The neighbor region is a bulk-filled higher-level leaf: the jump lands
+    on that node (reference: src/boxtree/tests.rs:274)."""
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    start, other = (511, 0, 0), (512, 0, 0)
+    tree.insert(start, RED)
+    tree.insert_at_lod(other, 256, RED)
+    sib = tree.sibling_at(start, (1, 0, 0))
+    assert sib is not None
+    key, bmin, bsize = sib
+    assert key == tree.node_at(other)
+    assert bsize == 256.0  # a higher-level node than the 16-voxel start leaf
+
+
+def test_sibling_jump_from_higher_level_leaf():
+    """From a uniform leaf the step size is the whole node (reference:
+    src/boxtree/tests.rs:360)."""
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    start, other = (256, 256, 0), (512, 256, 0)
+    tree.insert_at_lod(start, 256, RED)
+    tree.insert(other, RED)
+    assert tree.node_at(start) != tree.node_at(other)
+    sib = tree.sibling_at(start, (1, 0, 0))
+    assert sib is not None and sib[0] == tree.node_at(other)
+
+
+def test_sibling_jump_out_of_bounds():
+    """Stepping off the tree edge yields None (reference:
+    src/boxtree/tests.rs:442)."""
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    tree.insert((1023, 331, 0), RED)
+    assert tree.sibling_at((1023, 331, 0), (1, 0, 0)) is None
+
+
+# ---------------------------------------------------------------------------
+# sectant-execution scenarios for the bulk-update cell visitor
+# (reference: src/boxtree/tests.rs:475-880, test_sectant_execution_*)
+# ---------------------------------------------------------------------------
+
+from voxelhex_tpu.tree.boxtree import _visit_cells
+
+
+def _cells(node_min, node_size, position, update_size):
+    cells, _ = _visit_cells(np.asarray(node_min, np.float64), float(node_size),
+                            position, update_size)
+    return cells
+
+
+def test_sectant_execution_aligned_single_within():
+    # reference: tests.rs:475 — a 20-cube at the origin touches only sectant 0
+    cells = _cells((0, 0, 0), 400.0, (0, 0, 0), 20)
+    assert len(cells) == 1
+    pos_in, size_in, sectant, cmin, csize = cells[0]
+    assert sectant == 0
+    np.testing.assert_array_equal(cmin, [0, 0, 0])
+    np.testing.assert_array_equal(size_in, [20, 20, 20])
+    assert csize == 100.0
+    # at (100,0,0) the update sits exactly at sectant 1's min corner
+    cells = _cells((0, 0, 0), 400.0, (100, 0, 0), 20)
+    assert len(cells) == 1
+    pos_in, size_in, sectant, cmin, csize = cells[0]
+    assert sectant == 1
+    np.testing.assert_array_equal(cmin, [100, 0, 0])
+    np.testing.assert_array_equal(size_in, [20, 20, 20])
+
+
+def test_sectant_execution_aligned_single_bounds_smaller_position():
+    # reference: tests.rs:522 — node min (400,400,400) with an update box
+    # entirely below the node.  Clamping the position trims the update size
+    # negative, so no cell is visited (the reference's closure never runs
+    # there either — its assertions are vacuous; iterate.rs:85-101 guards on
+    # update_size_in_target > 0).
+    assert _cells((400, 400, 400), 400.0, (0, 0, 0), 20) == []
+    assert _cells((400, 400, 400), 400.0, (100, 500, 0), 20) == []
+
+
+def test_sectant_execution_single_target_with_smaller_position_aligned():
+    # reference: tests.rs:574 — update [0,450) clipped against node [400,800):
+    # only the first cell is covered, with per-axis size 450-400=50
+    cells = _cells((400, 400, 400), 400.0, (0, 0, 0), 450)
+    assert len(cells) == 1
+    pos_in, size_in, sectant, cmin, csize = cells[0]
+    assert sectant == 0
+    np.testing.assert_array_equal(cmin, [400, 400, 400])
+    np.testing.assert_array_equal(size_in, [50, 50, 50])
+
+
+def test_sectant_execution_single_target_with_smaller_position_unaligned():
+    # reference: tests.rs:612 — y offset 100 splits the clipped window across
+    # sectants 0 and 4 along y
+    cells = _cells((400, 400, 400), 400.0, (0, 100, 0), 450)
+    sectants = sorted(c[2] for c in cells)
+    assert sectants == [0, 4]
+    for pos_in, size_in, sectant, cmin, csize in cells:
+        assert size_in[0] == 50 and size_in[2] == 50
+        assert size_in[1] in (100, 50)  # full cell, then the 50 remainder
+
+
+def test_sectant_execution_single_target_with_larger_position():
+    # reference: tests.rs:653 — update entirely outside (above) the node:
+    # no cell is visited
+    assert _cells((400, 400, 400), 400.0, (0, 1000, 0), 100) == []
+
+
+def test_sectant_execution_single_target_out_of_bounds():
+    # reference: tests.rs:674 — 500-cube from (300,300,300) in a 400-node
+    # covers only the last sectant, clipped to the cell size
+    cells = _cells((0, 0, 0), 400.0, (300, 300, 300), 500)
+    assert len(cells) == 1
+    pos_in, size_in, sectant, cmin, csize = cells[0]
+    assert sectant == 63
+    np.testing.assert_array_equal(cmin, [300, 300, 300])
+    np.testing.assert_array_equal(size_in, [100, 100, 100])
+
+
+def test_sectant_execution_aligned_target_within():
+    # reference: tests.rs:700 — 400-cube from (100,0,0): 3x4x4 cells, each
+    # visited once and fully covered (clipped to the node)
+    cells = _cells((0, 0, 0), 400.0, (100, 0, 0), 400)
+    sectants = [c[2] for c in cells]
+    assert len(sectants) == len(set(sectants)) == 3 * 4 * 4
+    for pos_in, size_in, sectant, cmin, csize in cells:
+        np.testing.assert_array_equal(size_in, [100, 100, 100])
+        if sectant == 1:
+            np.testing.assert_array_equal(cmin, [100, 0, 0])
+
+
+def test_sectant_execution_aligned_target_out_of_bounds_smaller_position_larger_size():
+    # reference: tests.rs:734 — node [400,800), update [500,1500): 3x4x4 full
+    # cells
+    cells = _cells((400, 400, 400), 400.0, (500, 0, 0), 1000)
+    assert len(cells) == 3 * 4 * 4
+    for pos_in, size_in, sectant, cmin, csize in cells:
+        np.testing.assert_array_equal(size_in, [100, 100, 100])
+
+
+def test_sectant_execution_aligned_target_out_of_bounds():
+    # reference: tests.rs:769 — update larger than the node, aligned start:
+    # 3x4x4 full cells
+    cells = _cells((0, 0, 0), 400.0, (100, 0, 0), 500)
+    sectants = [c[2] for c in cells]
+    assert len(sectants) == len(set(sectants)) == 3 * 4 * 4
+    for pos_in, size_in, sectant, cmin, csize in cells:
+        np.testing.assert_array_equal(size_in, [100, 100, 100])
+
+
+def test_sectant_execution_unaligned_target_within():
+    # reference: tests.rs:802 — 210-cube from (100,0,0): 3x3x3 cells, edge
+    # cells carry the 10-voxel remainder
+    cells = _cells((0, 0, 0), 400.0, (100, 0, 0), 210)
+    assert len(cells) == 3 ** 3
+    for pos_in, size_in, sectant, cmin, csize in cells:
+        for axis in range(3):
+            assert size_in[axis] in (100, 10)
+        if sectant == 1:
+            np.testing.assert_array_equal(cmin, [100, 0, 0])
+
+
+def test_sectant_execution_unaligned_target_out_of_bounds():
+    # reference: tests.rs:844 — 510-cube from (100,0,0) overflows the node:
+    # the in-node portion is 3x4x4 full cells
+    cells = _cells((0, 0, 0), 400.0, (100, 0, 0), 510)
+    sectants = [c[2] for c in cells]
+    assert len(sectants) == len(set(sectants)) == 3 * 4 * 4
+    for pos_in, size_in, sectant, cmin, csize in cells:
+        np.testing.assert_array_equal(size_in, [100, 100, 100])

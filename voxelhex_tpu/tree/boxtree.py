@@ -972,6 +972,29 @@ class BoxTree:
         stack = self.access_stack(position)
         return stack[-1][0] if stack else None
 
+    def sibling_at(self, position, direction):
+        """Lowest allocated node adjacent to the lowest node containing
+        ``position`` when stepping one sectant cell along ``direction``;
+        returns ``(key, bounds_min, bounds_size)`` or None when the step
+        leaves the tree (functional analog of get_sibling_by_position /
+        get_sibling_by_stack, src/boxtree/iterate.rs:173-290).
+
+        Uniform leaves have no sectant substructure, so the step size there
+        is the whole node — mirroring the reference's uniform-leaf handling.
+        """
+        stack = self.access_stack(position)
+        if not stack:
+            return None
+        key, _bmin, bsize = stack[-1]
+        node = self.node(key)
+        cell = bsize if node.ntype == UNIFORM else bsize / BOX_NODE_DIMENSION
+        target = (
+            np.asarray(position, dtype=np.float64)
+            + np.asarray(direction, dtype=np.float64) * cell
+        )
+        tstack = self.access_stack(target)
+        return tstack[-1] if tstack else None
+
     def _sibling_at(self, node_min, node_size, direction):
         """Node occupying the same-size cell adjacent in ``direction``;
         None when absent (functional equivalent of reference
