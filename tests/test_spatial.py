@@ -267,3 +267,15 @@ def test_convert_coordinate_rejects_unknown_system():
 
     with pytest.raises(ValueError):
         convert_coordinate([1, 2, 3], "Rzup", "Qzup")
+
+
+def test_convert_coordinate_reference_spot_values():
+    """The reference's own expectations (src/spatial/math/tests.rs
+    test_coordinate_conversion)."""
+    from voxelhex_tpu.spatial.math import convert_coordinate
+
+    v = [1.0, 2.0, 3.0]
+    np.testing.assert_array_equal(convert_coordinate(v, "Rzup", "Rzup"), [1, 2, 3])
+    np.testing.assert_array_equal(convert_coordinate(v, "Lzup", "Ryup"), [1, 3, 2])
+    np.testing.assert_array_equal(convert_coordinate(v, "Rzup", "Ryup"), [1, 3, -2])
+    np.testing.assert_array_equal(convert_coordinate(v, "Lyup", "Ryup"), [1, 2, -3])
