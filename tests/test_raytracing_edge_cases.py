@@ -192,3 +192,161 @@ def test_random_grazing_rays_consistent():
         oracle = get_by_ray(flat, origins[i], dirs[i])
         agree += int((oracle is not None) == bool(hits[i]))
     assert agree >= n - 1  # allow at most one boundary disagreement
+
+
+# ---------------------------------------------------------------------------
+# remaining named regressions (reference: src/raytracing/tests.rs:560-880)
+# ---------------------------------------------------------------------------
+
+from voxelhex_tpu.tree.build import from_voxels
+
+
+def _grid_scene(size, brick_dim, mask_fn, color_fn):
+    """Bulk-build a tree from a boolean predicate over the voxel grid."""
+    coords = np.argwhere(
+        np.fromfunction(mask_fn, (size, size, size), dtype=np.int64)
+    )
+    colors = color_fn(coords).astype(np.uint8)
+    return from_voxels(coords, colors, size, brick_dim, simplify=True)
+
+
+def test_edge_case_detailed_brick_undetected():
+    """Full 8^3 dim-2 tree; a grazing ray from above must hit
+    (reference: src/raytracing/tests.rs test_edge_case_detailed_brick_undetected)."""
+    tree = BoxTree(8, 2, auto_simplify=False)
+    red = Albedo.from_u32(0xFF0000FF)
+    for x in range(8):
+        for y in range(8):
+            for z in range(8):
+                tree.insert((x, y, z), red)
+    oracle, dev = both_renderers_hit(
+        tree, [15.8443775, 16.0, 2.226141], [-0.7984906, -0.60134345, 0.028264323]
+    )
+    assert oracle is not None
+    assert dev
+
+
+def test_edge_case_detailed_brick_z_edge_error():
+    """Filled [1,8)^3 region, dim 2: a ray entering through the front face
+    must first hit a z=1 voxel with normal (0,0,-1)
+    (reference: src/raytracing/tests.rs test_edge_case_detailed_brick_z_edge_error)."""
+    tree = BoxTree(8, 2, auto_simplify=False)
+    for x in range(1, 8):
+        for y in range(1, 8):
+            for z in range(1, 8):
+                tree.insert((x, y, z), Albedo(z * 30, 0, 0, 255))
+    o = np.array([11.92238, 16.0, -10.670372], dtype=np.float32)
+    d = _norm([-0.30062392, -0.6361918, 0.7105529])
+    oracle = get_by_ray(flatten(tree), o, d)
+    assert oracle is not None
+    np.testing.assert_array_equal(oracle.normal, [0.0, 0.0, -1.0])
+    r = BitGridRenderer(tree, max_iters=512)
+    hit, _voxel, hvox, _pt, normal = r.trace(o[None], d[None])
+    assert bool(np.asarray(hit)[0])
+    assert int(np.asarray(hvox)[0, 2]) == 1
+    np.testing.assert_array_equal(np.asarray(normal)[0], [0.0, 0.0, -1.0])
+
+
+def test_edge_case_deep_stack():
+    """1024-tree with dim-1 bricks: a ray crossing the whole world must reach
+    the far-corner voxel through the full stack depth
+    (reference: src/raytracing/tests.rs test_edge_case_deep_stack)."""
+    tree = BoxTree(1024, 1, auto_simplify=False)
+    target = np.array([1023, 1023, 1023])
+    tree.insert((0, 0, 0), Albedo.from_u32(0x000000EE))
+    tree.insert(tuple(target), Albedo.from_u32(0x000000FF))
+    o = np.array([0.0, 5.0, -1.0], dtype=np.float32)
+    d = _norm(target + 0.5 - o)
+    oracle = get_by_ray(flatten(tree), o, d, max_steps=100000)
+    assert oracle is not None
+    r = BitGridRenderer(tree, max_iters=4096)
+    hit, _voxel, hvox, _pt, _n = r.trace(o[None], d[None])
+    assert bool(np.asarray(hit)[0])
+    np.testing.assert_array_equal(np.asarray(hvox)[0], target)
+
+
+def test_edge_case_brick_traversal_error():
+    """Single voxel at the origin of an 8-tree with dim-2 bricks; a long
+    diagonal ray from outside must hit it
+    (reference: src/raytracing/tests.rs test_edge_case_brick_traversal_error)."""
+    tree = BoxTree(8, 2, auto_simplify=False)
+    tree.insert((0, 0, 0), Albedo.from_u32(0x000000FF))
+    o = [23.84362, 32.0, -21.342018]
+    d = [-0.51286834, -0.70695364, 0.48701409]
+    oracle, dev = both_renderers_hit(tree, o, d)
+    assert oracle is not None
+    assert np.linalg.norm(oracle.point - [0.0, 0.0, 0.0]) < 1.5
+    assert dev
+
+
+def test_edge_case_brick_boundary_error():
+    """Sparse lattice walls plus a solid octant in a 128-tree with dim-8
+    bricks; the frozen ray must report a hit
+    (reference: src/raytracing/tests.rs test_edge_case_brick_boundary_error)."""
+    S = 128
+
+    def mask(x, y, z):
+        walls = ((x < S // 4) | (y < S // 4) | (z < S // 4)) & (
+            (x % 2 == 0) & (y % 4 == 0) & (z % 2 == 0)
+        )
+        octant = (x >= S // 2) & (y >= S // 2) & (z >= S // 2)
+        return walls | octant
+
+    def color(c):
+        out = np.empty((len(c), 4), dtype=np.uint8)
+        out[:, 0] = (255 * (c[:, 0] % 6) / 6.0).astype(np.uint8)
+        out[:, 1] = (255 * (c[:, 1] % 6) / 6.0).astype(np.uint8)
+        out[:, 2] = (255 * (c[:, 2] % 6) / 6.0).astype(np.uint8)
+        out[:, 3] = 255
+        return out
+
+    tree = _grid_scene(S, 8, mask, color)
+    oracle, dev = both_renderers_hit(
+        tree, [191.60886, 256.0, -169.77057], [-0.38838777, -0.49688956, 0.7760514]
+    )
+    assert oracle is not None
+    assert dev
+
+
+def test_edge_case_cube_flaps():
+    """Solid far octant of a 64-tree: the frozen grazing ray must MISS —
+    phantom 'flaps' at cube faces once produced false hits
+    (reference: src/raytracing/tests.rs test_edge_case_cube_flaps)."""
+    S = 64
+
+    def mask(x, y, z):
+        return (x >= S // 2) & (y >= S // 2) & (z >= S // 2)
+
+    def color(c):
+        out = (255.0 * c / S).astype(np.uint8)
+        return np.concatenate([out, np.full((len(c), 1), 255, np.uint8)], axis=1)
+
+    tree = _grid_scene(S, 1, mask, color)
+    oracle, dev = both_renderers_hit(
+        tree, [47.898006, 64.0, -42.44739], [-0.42279032, -0.4016629, 0.8123516]
+    )
+    assert oracle is None
+    assert not dev
+
+
+def test_edge_case_context_bleed():
+    """Sparse lattice walls in a 64-tree with dim-1 bricks; stale traversal
+    state once made this frozen ray miss
+    (reference: src/raytracing/tests.rs test_edge_case_context_bleed)."""
+    S = 64
+
+    def mask(x, y, z):
+        return ((x < S // 4) | (y < S // 4) | (z < S // 4)) & (
+            (x % 2 == 0) & (y % 4 == 0) & (z % 2 == 0)
+        )
+
+    def color(c):
+        out = (255.0 * c / S).astype(np.uint8)
+        return np.concatenate([out, np.full((len(c), 1), 255, np.uint8)], axis=1)
+
+    tree = _grid_scene(S, 1, mask, color)
+    oracle, dev = both_renderers_hit(
+        tree, [47.898006, 64.0, -42.44739], [-0.49263135, -0.49703234, 0.714334]
+    )
+    assert oracle is not None
+    assert dev
