@@ -96,3 +96,36 @@ def test_albedo_gradients_flow_through_composite():
     addr = 5 + 5 * S + 4 * S * S
     assert np.abs(np.asarray(grads["albedo"][addr])).sum() > 0
     assert abs(float(grads["logits"][addr])) >= 0  # finite
+
+
+def test_occupancy_gradient_finite_difference_parity():
+    """AD gradients of the soft loss w.r.t. opacity LOGITS match central
+    finite differences (completes the FD coverage: albedo FD parity lives in
+    test_diff_and_parallel.py)."""
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert((5, 5, 4), RED)
+    tree.insert((5, 5, 10), GREEN)
+
+    r = SoftRenderer(tree, max_hits=3)
+    params = r.init_params(init_opacity=0.7)
+    origins = np.array([[5.5, 5.5, -3.0]], dtype=np.float32)
+    dirs = np.array([[0.0, 0.0, 1.0]], dtype=np.float32)
+    _count, voxels, _t = r.trace_hits(origins, dirs)
+    target = jnp.zeros((1, 3), jnp.float32)
+
+    grads = jax.grad(lambda p: r.loss(p, voxels, target))(params)
+
+    S = r.size
+    eps = 1e-3
+    for addr in (5 + 5 * S + 4 * S * S, 5 + 5 * S + 10 * S * S):
+        base = params["logits"][addr]
+
+        def loss_at(v):
+            p = dict(params)
+            p["logits"] = params["logits"].at[addr].set(v)
+            return float(r.loss(p, voxels, target))
+
+        fd = (loss_at(base + eps) - loss_at(base - eps)) / (2 * eps)
+        ad = float(grads["logits"][addr])
+        assert abs(fd) > 1e-6  # the voxel genuinely affects the loss
+        assert abs(fd - ad) <= 1e-3 * max(1.0, abs(fd)), (fd, ad)
