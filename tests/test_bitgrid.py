@@ -163,3 +163,25 @@ def test_resolve_entries_returns_user_data():
     entries = r.resolve_entries(tree, hit, hvox)
     assert entries[0].albedo == RED and entries[0].data == 42
     assert entries[1].albedo is None and entries[1].data == 7
+
+
+def test_render_out_u8_matches_quantized_f32():
+    """The device-side uint8 output path equals quantizing the f32 frame
+    (the reference renders into an rgba8 texture; out_u8 mirrors that and
+    cuts host transfer 4x)."""
+    from voxelhex_tpu.render.camera import orbit_camera
+
+    tree = BoxTree(16, 4, auto_simplify=False)
+    rng = np.random.default_rng(5)
+    for _ in range(120):
+        p = tuple(int(v) for v in rng.integers(0, 16, 3))
+        tree.insert(p, Albedo(rng.integers(30, 255), 90, 120, 255))
+    r = BitGridRenderer(tree)
+    cam = orbit_camera(16.0, resolution=(48, 32))
+    for compact in (False, True):
+        f = r.render(cam, bg=(0.1, 0.2, 0.3), compact=compact)
+        u = r.render(cam, bg=(0.1, 0.2, 0.3), compact=compact, out_u8=True)
+        assert u.dtype == np.uint8 and u.shape == f.shape
+        np.testing.assert_array_equal(
+            u, np.clip(np.round(f * 255.0), 0, 255).astype(np.uint8)
+        )

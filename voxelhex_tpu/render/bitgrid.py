@@ -628,6 +628,13 @@ class BitGridRenderer:
         self._shade_only = jax.jit(
             lambda tree, hit, voxel, normal, bgc: _shade(tree, hit, voxel, normal, bgc)
         )
+        # device-side 8-bit quantization: the reference renders into an rgba8
+        # texture (src/raytracing/bevy/view.rs output texture); emitting u8
+        # on device also cuts the host transfer 4x vs f32 — through the
+        # remote-TPU tunnel that transfer is a large share of frame time.
+        self._to_u8 = jax.jit(
+            lambda rgb: jnp.clip(jnp.round(rgb * 255.0), 0.0, 255.0).astype(jnp.uint8)
+        )
 
         def _depth_start(hit, hpoint, o, h2, w2):
             depth = jnp.where(
@@ -809,7 +816,11 @@ class BitGridRenderer:
         voxel = fns["color"](self.tree, hit, hvox)
         return hit, voxel, hvox, hpoint, hnormal
 
-    def render(self, camera, bg=(0.0, 0.0, 0.0), compact: bool = True):
+    def render(self, camera, bg=(0.0, 0.0, 0.0), compact: bool = True,
+               out_u8: bool = False):
+        """Render a frame.  ``out_u8`` quantizes to uint8 ON DEVICE (the
+        reference's rgba8 output-texture convention) — 4x less host
+        transfer, which dominates remote-TPU frame time."""
         origins, dirs = camera.rays()
         h, w = origins.shape[:2]
         o = jnp.asarray(origins.reshape(-1, 3))
@@ -841,6 +852,8 @@ class BitGridRenderer:
                 rgb = self._prepass_fn(h, w, levels)(self.tree, tuple(level_rays), bgc)
             else:
                 rgb = self._shade_batch(self.tree, o, dv, bgc)
+            if out_u8:
+                rgb = self._to_u8(rgb)
             return np.asarray(rgb).reshape(h, w, 3)
 
         # compaction path: host-driven rounds, optional multi-level prepass
@@ -868,6 +881,8 @@ class BitGridRenderer:
                     start_t=None if start is None else start.reshape(-1),
                     shade_bg=bgc,
                 )
+                if out_u8:
+                    rgb = self._to_u8(rgb)
                 return np.asarray(rgb).reshape(h, w, 3)
             hit, _voxel, _hv, hpoint, _hn = self.trace_compacted(
                 lo, ld, start_t=None if start is None else start.reshape(-1)

@@ -349,7 +349,7 @@ class StreamingView:
 
     # ------------------------------------------------------------------
 
-    def render(self, camera, bg=(0.0, 0.0, 0.0)):
+    def render(self, camera, bg=(0.0, 0.0, 0.0), out_u8: bool = False):
         """Update the window for the camera and render (view-space shift)."""
         from dataclasses import replace
 
@@ -361,4 +361,4 @@ class StreamingView:
             target=np.asarray(camera.target, dtype=np.float32)
             - self.origin.astype(np.float32),
         )
-        return self.renderer.render(cam_local, bg=bg)
+        return self.renderer.render(cam_local, bg=bg, out_u8=out_u8)
