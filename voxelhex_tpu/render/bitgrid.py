@@ -741,14 +741,11 @@ class BitGridRenderer:
                 return jnp.where(hit[:, None], lit, jnp.broadcast_to(bgc, lit.shape))
 
             self._lod_cache[key] = shade_lod
-        origins, dirs = camera.rays()
-        h, w = origins.shape[:2]
-        rgb = self._lod_cache[key](
-            self.tree,
-            jnp.asarray(origins.reshape(-1, 3)),
-            jnp.asarray(dirs.reshape(-1, 3)),
-            jnp.asarray(bg, dtype=F32),
-        )
+        from voxelhex_tpu.render.camera import device_rays
+
+        w, h = camera.resolution
+        o_d, d_d = device_rays(camera)
+        rgb = self._lod_cache[key](self.tree, o_d, d_d, jnp.asarray(bg, dtype=F32))
         return np.asarray(rgb).reshape(h, w, 3)
 
     def trace_compacted(
@@ -821,10 +818,10 @@ class BitGridRenderer:
         """Render a frame.  ``out_u8`` quantizes to uint8 ON DEVICE (the
         reference's rgba8 output-texture convention) — 4x less host
         transfer, which dominates remote-TPU frame time."""
-        origins, dirs = camera.rays()
-        h, w = origins.shape[:2]
-        o = jnp.asarray(origins.reshape(-1, 3))
-        dv = jnp.asarray(dirs.reshape(-1, 3))
+        from voxelhex_tpu.render.camera import device_rays
+
+        w, h = camera.resolution
+        o, dv = device_rays(camera)  # rays never leave the device
         bgc = jnp.asarray(bg, dtype=F32)
         levels = self.prepass_levels if self.prepass else 0
         while levels and (h % (2**levels) or w % (2**levels)):
@@ -844,10 +841,7 @@ class BitGridRenderer:
                         fov_y_deg=camera.fov_y_deg,
                         resolution=(w // f_, h // f_),
                     )
-                    po, pd = cam_i.rays()
-                    level_rays.append(
-                        (jnp.asarray(po.reshape(-1, 3)), jnp.asarray(pd.reshape(-1, 3)))
-                    )
+                    level_rays.append(device_rays(cam_i))
                 level_rays.append((o, dv))
                 rgb = self._prepass_fn(h, w, levels)(self.tree, tuple(level_rays), bgc)
             else:
@@ -870,9 +864,7 @@ class BitGridRenderer:
                     fov_y_deg=camera.fov_y_deg,
                     resolution=(w // f_, h // f_),
                 )
-                po, pd = cam_i.rays()
-                lo = jnp.asarray(po.reshape(-1, 3))
-                ld = jnp.asarray(pd.reshape(-1, 3))
+                lo, ld = device_rays(cam_i)
             else:
                 lo, ld = o, dv
             if i == 0:

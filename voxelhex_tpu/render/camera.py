@@ -107,3 +107,57 @@ def orbit_camera(
         resolution=resolution,
         fov_y_deg=fov_y_deg,
     )
+
+
+# ---------------------------------------------------------------------------
+# device-side ray generation
+# ---------------------------------------------------------------------------
+
+_raygen_cache: dict = {}
+
+
+def device_rays(camera: "Camera"):
+    """Generate the camera's rays ON DEVICE: ``(origins, dirs)`` as
+    ``[(h*w), 3]`` f32 device arrays.
+
+    Only ~60 bytes of camera parameters cross host->device instead of
+    ``2 * H * W * 3`` floats — through a remote-TPU tunnel the per-frame ray
+    upload otherwise dominates frame time.  One tiny program compiles per
+    resolution.  Math mirrors :meth:`Camera.rays` exactly (the reference
+    derives rays from the inverse view-projection per pixel,
+    viewport_render.wgsl:689-700; same pinhole geometry).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    w, h = camera.resolution
+    fn = _raygen_cache.get((w, h))
+    if fn is None:
+
+        def gen(origin, right, up, forward, scale):
+            px = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+            py = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+            d = (
+                forward[None, None, :]
+                + px[None, :, None] * scale[0] * right[None, None, :]
+                + py[:, None, None] * scale[1] * up[None, None, :]
+            )
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            o = jnp.broadcast_to(origin, d.shape)
+            return o.reshape(-1, 3), d.reshape(-1, 3)
+
+        fn = jax.jit(gen)
+        _raygen_cache[(w, h)] = fn
+
+    import jax.numpy as jnp
+
+    forward, right, up = camera.basis()
+    tan_half = float(np.tan(np.radians(camera.fov_y_deg) / 2.0))
+    aspect = w / h
+    return fn(
+        jnp.asarray(np.asarray(camera.origin, dtype=np.float32)),
+        jnp.asarray(right),
+        jnp.asarray(up),
+        jnp.asarray(forward),
+        jnp.asarray([tan_half * aspect, tan_half], dtype=np.float32),
+    )
