@@ -10,8 +10,21 @@ has no wide vector gather — see PERF.md).
 Scope/limits of the prototype:
 * whole pyramid must fit the VMEM budget (≲ 8 MB ⇒ scenes ≤ 256³);
 * hit output is (hit, voxel coords); color resolve stays outside;
-* validated against the XLA tracer in interpreter mode; TPU compilation of
-  the scalar-fetch loop is the round-2 task.
+* validated against the XLA tracer in interpreter mode.
+
+TPU compilation status (measured 2026-08-17): Mosaic REJECTS the per-lane
+scalar-fetch loop — ``word_scr[i, 0] = occ_ref[a, 0]`` fails with "Cannot
+store scalars to VMEM".  Known alternatives and their blockers:
+* where-accumulate into register vectors with ``pl.ds(a, 1)`` dynamic row
+  loads — avoids scalar stores but still serializes 1024 scalar-indexed
+  loads per fetch, which the scalar core executes no faster than XLA's
+  out-of-loop gather fast-path (~5 ns/elem);
+* scalar-prefetch (addresses in SMEM) — addresses are loop-carried vector
+  state here, not precomputable outside the kernel;
+* ``take_along_axis`` — single-vreg tables only (see PERF.md).
+Until Mosaic grows a wide vector gather, the XLA round-loop renderer
+(bitgrid.py) remains the production path; this kernel stays an
+interpreter-mode testbed for the traversal logic.
 
 Tile shape: (8, 128) rays per grid program.
 """
