@@ -279,3 +279,23 @@ def test_convert_coordinate_reference_spot_values():
     np.testing.assert_array_equal(convert_coordinate(v, "Lzup", "Ryup"), [1, 3, 2])
     np.testing.assert_array_equal(convert_coordinate(v, "Rzup", "Ryup"), [1, 3, -2])
     np.testing.assert_array_equal(convert_coordinate(v, "Lyup", "Ryup"), [1, 2, -3])
+
+
+def test_occupancy_bitmap_sized_set_reference_values():
+    """Sized-region occupancy updates (reference: src/spatial/math/tests.rs
+    test_occupancy_bitmap_sized_set_*)."""
+    assert set_occupied_bits([0, 0, 0], 3, 4, True, 0) == 0x77707770777
+    assert set_occupied_bits([0, 0, 0], 2, 2, True, 0) == (1 << 64) - 1
+    # size overflowing the brick saturates to a full map
+    assert set_occupied_bits([0, 0, 0], 5, 4, True, 0) == (1 << 64) - 1
+    assert set_occupied_bits([0, 0, 0], 3, 2, True, 0) == (1 << 64) - 1
+
+
+def test_occupancy_bitmap_position_overflow_is_noop():
+    """Out-of-brick positions touch no bits.  The reference debug_asserts on
+    partially-overflowing coordinates (tests.rs *_pos_overflow expect a
+    panic) and no-ops on fully-overflowing ones; we uniformly clip — the
+    release-mode behavior — and freeze that here."""
+    assert set_occupied_bits([5, 5, 5], 1, 4, True, 0) == 0
+    assert set_occupied_bits([3, 1, 9], 1, 4, True, 0) == 0
+    assert set_occupied_bits([4, 4, 4], 1, 2, True, 0) == 0
