@@ -299,3 +299,26 @@ def test_occupancy_bitmap_position_overflow_is_noop():
     assert set_occupied_bits([5, 5, 5], 1, 4, True, 0) == 0
     assert set_occupied_bits([3, 1, 9], 1, 4, True, 0) == 0
     assert set_occupied_bits([4, 4, 4], 1, 2, True, 0) == 0
+
+
+def test_plane_line_negative_intersection():
+    """A plane behind the line origin yields a NEGATIVE distance (reference:
+    src/spatial/math/tests.rs test_negative_intersection)."""
+    from voxelhex_tpu.spatial.math import plane_line_intersection
+
+    d = plane_line_intersection([0, 0, 0], [0, 1, 0], [0, 1, 0], [0, 1, 0])
+    assert d == -1.0
+    # parallel off-plane: no intersection; parallel on-plane: distance 0
+    assert plane_line_intersection([0, 0, 0], [0, 1, 0], [0, 1, 0], [1, 0, 0]) is None
+    assert plane_line_intersection([0, 0, 0], [0, 1, 0], [0, 0, 0], [1, 0, 0]) == 0.0
+
+
+def test_edge_case_cube_top_hit():
+    """Frozen grazing ray entering through a cube's top face (reference:
+    src/spatial/math/tests.rs test_edge_case_cube_top_hit)."""
+    o = np.array([8.965594, 10.0, -4.4292345], dtype=np.float32)
+    d = np.array([-0.5082971, -0.72216684, 0.46915793], dtype=np.float32)
+    hit, dist = intersect_ray_aabb(o, d, [2.0, 0.0, 0.0], 2.0)
+    assert hit and dist is not None
+    assert abs(dist - 11.077772) < 1e-3
+    assert abs((o + d * dist)[1] - 2.0) < 1e-3

@@ -286,3 +286,20 @@ def convert_coordinate(c, src: str, dst: str):
     else:  # hand and up axis both differ
         out = (x, z, y)
     return np.stack(np.broadcast_arrays(*out), axis=-1)
+
+
+def plane_line_intersection(plane_point, plane_normal, line_origin, line_direction):
+    """Signed distance along the line to a plane, or None when parallel and
+    off-plane; 0.0 when the origin already lies on the plane (reference:
+    plane_line_intersection, src/spatial/raytracing/mod.rs:77-95).
+
+    The distance may be negative (intersection behind the origin)."""
+    pp = np.asarray(plane_point, dtype=np.float32)
+    pn = np.asarray(plane_normal, dtype=np.float32)
+    lo = np.asarray(line_origin, dtype=np.float32)
+    ld = np.asarray(line_direction, dtype=np.float32)
+    diff_dot = float(np.dot(pp - lo, pn))
+    dir_dot = float(np.dot(ld, pn))
+    if dir_dot == 0.0:
+        return 0.0 if diff_dot == 0.0 else None
+    return diff_dot / dir_dot
