@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--pitch", type=float, default=25.0)
     ap.add_argument("--out-dir", default="frames")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cpu-check", action="store_true",
+                    help="also render frame 0's viewport with the CPU oracle "
+                         "at low res and report device/oracle agreement (the "
+                         "gpu_render example's Tab parity check, reference: "
+                         "examples/gpu_render.rs:196-257)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -70,6 +75,25 @@ def main():
         times.append(dt)
         write_png(os.path.join(args.out_dir, f"frame_{i:03d}.png"), img)
         print(f"frame {i:02d}: {dt*1000:7.1f} ms  ({w*h/dt/1e6:6.2f} Mrays/s)")
+
+    if args.cpu_check:
+        import numpy as np
+
+        from voxelhex_tpu.render.oracle import get_by_ray
+        from voxelhex_tpu.tree.flat import flatten
+
+        flat = flatten(tree)
+        cam = orbit_camera(float(tree.size), yaw_deg=0.0, pitch_deg=args.pitch,
+                           resolution=(64, 36), fov_y_deg=args.fov)
+        o, d = cam.rays()
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        dev_hit, _v, _hv, _p, _n = renderer.trace(o, d)
+        dev_hit = np.asarray(dev_hit)
+        cpu_hit = np.array([get_by_ray(flat, o[i], d[i]) is not None
+                            for i in range(len(o))])
+        agree = float((dev_hit == cpu_hit).mean())
+        print(f"cpu-check: device/oracle hit agreement {agree:.4f} "
+              f"({len(o)} probe rays)")
 
     steady = times[1:] or times
     avg = sum(steady) / len(steady)
