@@ -90,3 +90,51 @@ def test_version_gate(tmp_path):
     assert peek_version(bad) == (99, 0)
     with pytest.raises(ValueError, match="incompatible"):
         load_tree(bad)
+
+
+def test_tree_roundtrip_user_data_and_dims(tmp_path):
+    """User-data entries and small brick dims survive save/load (reference:
+    convert/tests.rs test_boxtree_serialize_where_dim_is_1/_2 with custom
+    VoxelData)."""
+    from voxelhex_tpu.tree.boxtree import Entry
+
+    for dim, size in ((1, 16), (2, 8)):
+        tree = BoxTree(size, dim, auto_simplify=False)
+        tree.insert((0, 0, 0), Entry(albedo=RED, data=42))
+        tree.insert((1, 2, 3), Entry(data="tag"))
+        tree.insert((2, 2, 2), Entry(albedo=GREEN, data=(1, 2)))
+        path = tmp_path / f"d{dim}.vhx"
+        save_tree(path, tree)
+        loaded = load_tree(path)
+        for pos in ((0, 0, 0), (1, 2, 3), (2, 2, 2)):
+            a, b = tree.get(pos), loaded.get(pos)
+            assert a.albedo == b.albedo and a.data == b.data, (dim, pos)
+        # palette dedup still works after restore: re-inserting the same data
+        # must not grow the palette
+        n = len(loaded.data_palette)
+        loaded.insert((3, 3, 3), Entry(albedo=RED, data=42))
+        assert len(loaded.data_palette) == n
+
+
+def test_tree_roundtrip_mip_strategy(tmp_path):
+    """The MIP-map strategy (enabled flag, per-level methods, similarity
+    thresholds) persists (reference: bytecode.rs:518-648)."""
+    from voxelhex_tpu.tree.mipmap import BOX_FILTER, POSTERIZE, MIPStrategy
+
+    tree = make_scene()
+    tree.mip_strategy = MIPStrategy(enabled=True)
+    tree.mip_strategy.set_method(1, POSTERIZE, 0.2)
+    tree.mip_strategy.set_similarity(2, 0.33)
+    path = tmp_path / "mip.vhx"
+    save_tree(path, tree)
+    loaded = load_tree(path)
+    assert loaded.mip_strategy is not None and loaded.mip_strategy.enabled
+    assert loaded.mip_strategy.method_at(1) == (POSTERIZE, 0.2)
+    assert loaded.mip_strategy.similarity_at(2) == 0.33
+    assert loaded.mip_strategy.method_at(2)[0] == BOX_FILTER
+
+    # absent strategy stays absent
+    tree2 = make_scene()
+    p2 = tmp_path / "nomip.vhx"
+    save_tree(p2, tree2)
+    assert load_tree(p2).mip_strategy is None

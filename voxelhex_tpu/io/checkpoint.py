@@ -190,7 +190,23 @@ def save_tree(path, tree: BoxTree):
     colors = np.array(
         [[c.r, c.g, c.b, c.a] for c in tree.color_palette], dtype=np.uint8
     ).reshape(-1, 4)
+    # data values must be hashable (palette dedup keys), so their reprs are
+    # literal-evaluable for all common types (int/str/tuple/...) — the
+    # bencode VoxelData round-trip analog (reference: src/convert/bytecode.rs)
     data_pal = json.dumps([repr(x) for x in tree.data_palette])
+
+    mip_meta = None
+    if tree.mip_strategy is not None:
+        ms = tree.mip_strategy
+        mip_meta = {
+            "enabled": bool(ms.enabled),
+            "methods": {
+                str(k): [v[0], v[1]] for k, v in ms.methods.items()
+            },
+            "thresholds": {
+                str(k): float(v) for k, v in ms.color_matching_thresholds.items()
+            },
+        }
 
     meta = _meta_dict(
         "tree",
@@ -199,6 +215,7 @@ def save_tree(path, tree: BoxTree):
             "brick_dim": int(tree.brick_dim),
             "auto_simplify": bool(tree.auto_simplify),
             "data_palette": data_pal,
+            "mip_strategy": json.dumps(mip_meta),
         },
     )
     _write_npz(
@@ -233,6 +250,29 @@ def load_tree(path) -> BoxTree:
     )
     for row in arrays["colors"]:
         tree._intern_color(Albedo(*(int(v) for v in row)))
+
+    # restore the user-data palette (reprs -> literals; raw string fallback)
+    import ast
+
+    for item in json.loads(meta.get("data_palette", "[]")):
+        try:
+            value = ast.literal_eval(item)
+        except (ValueError, SyntaxError):
+            value = item
+        tree._intern_data(value)
+
+    mip_meta = json.loads(meta.get("mip_strategy", "null") or "null")
+    if mip_meta is not None:
+        from voxelhex_tpu.tree.mipmap import MIPStrategy
+
+        ms = MIPStrategy(enabled=bool(mip_meta["enabled"]))
+        ms.methods = {
+            int(k): (v[0], v[1]) for k, v in mip_meta["methods"].items()
+        }
+        ms.color_matching_thresholds = {
+            int(k): float(v) for k, v in mip_meta["thresholds"].items()
+        }
+        tree.mip_strategy = ms
 
     parted = arrays["parted"]
     solids = arrays["solids"]
