@@ -185,3 +185,22 @@ def test_render_out_u8_matches_quantized_f32():
         np.testing.assert_array_equal(
             u, np.clip(np.round(f * 255.0), 0, 255).astype(np.uint8)
         )
+
+
+def test_trace_stats_profiling_hook():
+    """trace_compacted records per-round host-side stats (bucket sizes,
+    iteration counts, actives) for profiling."""
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert((8, 8, 8), Albedo.from_u32(0xFF0000FF))
+    r = BitGridRenderer(tree)
+    from voxelhex_tpu.render.camera import orbit_camera
+
+    cam = orbit_camera(16.0, resolution=(64, 32))
+    r.render(cam)
+    stats = r.last_stats
+    assert stats["rays"] == 64 * 32
+    assert stats["rounds"] and stats["rounds"][0]["bucket"] == 64 * 32
+    assert stats["total_iters"] == sum(rd["iters"] for rd in stats["rounds"])
+    assert stats["rounds"][-1]["n_active"] == 0 or (
+        stats["total_iters"] >= r._max_iters
+    )

@@ -660,6 +660,7 @@ class BitGridRenderer:
         self._shade_batch = shade_batch
         self._prepass_cache = {}
         self._lod_cache = {}
+        self.last_stats = None  # filled by trace_compacted (profiling hook)
 
     def _prepass_fn(self, h, w, levels):
         """Jitted multi-level renderer: trace at 1/2**levels resolution, then
@@ -756,10 +757,11 @@ class BitGridRenderer:
         periodically pack the still-active rays into a 1/shrink-size buffer,
         so late iterations don't pay full-frame gather costs.  Each bucket
         shape compiles once (cached)."""
-        import numpy as _np
+        import time as _time
 
         fns = self._compact_fns
-        del _np
+        t_start = _time.time()
+        rounds = []
         o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
         dv = jnp.asarray(directions, dtype=F32).reshape(-1, 3)
         R = o.shape[0]
@@ -775,9 +777,15 @@ class BitGridRenderer:
             # full-size rounds stay short (compaction opportunity); compacted
             # buckets run long rounds to amortize dispatch latency
             iters = round_iters if cur >= R0 else 4 * round_iters
+            t_round = _time.time()
             state, n_active_dev = fns["run"](self.tree, state, iters)
             total_iters += iters
             n_active = int(n_active_dev)
+            rounds.append(
+                {"bucket": int(cur), "iters": int(iters),
+                 "n_active": int(n_active),
+                 "seconds": round(_time.time() - t_round, 4)}
+            )
             if n_active == 0 or total_iters >= self._max_iters:
                 if orig is None:
                     # never compacted: the state IS the full-frame result
@@ -806,6 +814,14 @@ class BitGridRenderer:
                     )
                 perm = fns["perm"](state[10], bucket)
                 state, orig = fns["apply_perm"](state, orig, perm)
+        # profiling hook (host-side only): per-round bucket/iters/actives —
+        # the whisp fps-overlay analog for headless use (SURVEY §7.2 item 7)
+        self.last_stats = {
+            "rays": int(R),
+            "total_iters": int(total_iters),
+            "rounds": rounds,
+            "trace_seconds": round(_time.time() - t_start, 4),
+        }
         if shade_bg is not None:
             # fused color + shade: one dispatch for the whole finish
             voxel, rgb = fns["finish"](self.tree, hit, hvox, hnormal, shade_bg)
