@@ -129,3 +129,29 @@ def test_occupancy_gradient_finite_difference_parity():
         ad = float(grads["logits"][addr])
         assert abs(fd) > 1e-6  # the voxel genuinely affects the loss
         assert abs(fd - ad) <= 1e-3 * max(1.0, abs(fd)), (fd, ad)
+
+
+def test_multihit_compacted_matches_plain():
+    """The compacted multi-hit tracer returns identical counts/voxels/dists
+    to the plain K-serial-march tracer."""
+    tree = BoxTree(64, 4, auto_simplify=False)
+    rng = np.random.default_rng(11)
+    for _ in range(600):
+        p = tuple(int(v) for v in rng.integers(0, 64, 3))
+        tree.insert(p, RED if rng.random() < 0.5 else GREEN)
+
+    r = SoftRenderer(tree, max_hits=3)
+    n = 3000
+    targets = rng.random((n, 3)) * 64
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    keep = (np.abs(targets - np.round(targets)) >= 0.05).all(axis=1)
+    targets, dirs = targets[keep], dirs[keep]
+    origins = (targets - dirs * 100).astype(np.float32)
+    dirs = dirs.astype(np.float32)
+
+    c1, v1, d1 = r.trace_hits(origins, dirs, compact=False)
+    c2, v2, d2 = r.trace_hits_compacted(origins, dirs)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)

@@ -92,8 +92,43 @@ class SoftRenderer:
         self.bitgrid = bg
         self.tree = device_bitgrid(bg)
         self.size = int(bg.size)
+        self.max_hits = int(max_hits)
+        self._max_iters = int(max_iters)
         self._trace = jax.jit(make_multihit_tracer(bg, max_hits=max_hits,
                                                    max_iters=max_iters))
+        self._compact_renderer = None
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=5)
+        def _seg_scatter(voxels, dists, state, orig, o_full, k):
+            hit, hvox, point = state[11], state[12], state[0]
+            d = jnp.linalg.norm(point - o_full[orig], axis=-1)
+            voxels = voxels.at[orig, k, :].set(
+                jnp.where(hit[:, None], hvox, -1)
+            )
+            dists = dists.at[orig, k].set(jnp.where(hit, d, jnp.inf))
+            return voxels, dists
+
+        @jax.jit
+        def _continue_state(state):
+            """Clear each hit voxel's bit in the register occupancy words and
+            keep ONLY the rays that hit marching (misses are finished)."""
+            hit, tsect = state[11], state[1]
+            s = jnp.clip(tsect, 0, 63)
+            bit_lo = jnp.where(s < 32, jnp.uint32(1) << s.astype(jnp.uint32), 0)
+            bit_hi = jnp.where(
+                s >= 32, jnp.uint32(1) << (s - 32).astype(jnp.uint32), 0
+            )
+            occ_lo = jnp.where(hit, state[5] & ~bit_lo, state[5])
+            occ_hi = jnp.where(hit, state[6] & ~bit_hi, state[6])
+            return (state[0], state[1], state[2], state[3], state[4],
+                    occ_lo, occ_hi, state[7], state[8], state[9],
+                    hit, jnp.zeros_like(hit), state[12], state[13],
+                    state[14], state[15], state[16], state[17])
+
+        self._seg_scatter = _seg_scatter
+        self._continue_state = _continue_state
 
     def init_params(self, init_opacity: float = 0.99):
         """Dense albedo [S^3, 3] + opacity logits [S^3] from the scene."""
@@ -108,10 +143,75 @@ class SoftRenderer:
         logits = np.where(occupied, logit, -10.0).astype(np.float32)
         return {"albedo": jnp.asarray(albedo), "logits": jnp.asarray(logits)}
 
-    def trace_hits(self, origins, dirs):
+    def trace_hits(self, origins, dirs, compact: bool | None = None):
         o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
         d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
+        if compact is None:
+            compact = o.shape[0] >= 262144  # frame-scale ray counts
+        if compact:
+            return self.trace_hits_compacted(o, d)
         return self._trace(self.tree, o, d)
+
+    def trace_hits_compacted(
+        self, origins, dirs, round_iters: int = 24, shrink: int = 4,
+        min_bucket: int = 8192,
+    ):
+        """Multi-hit march with straggler compaction BETWEEN segments: rays
+        that missed in segment k are done and drop out before segment k+1
+        marches (the plain tracer pays K serial full-width marches).  Same
+        results as :func:`make_multihit_tracer`, host-driven like
+        ``BitGridRenderer.trace_compacted`` and reusing its cached round
+        programs."""
+        if self._compact_renderer is None:
+            from voxelhex_tpu.render.bitgrid import BitGridRenderer
+
+            self._compact_renderer = BitGridRenderer(
+                self.bitgrid, max_iters=self._max_iters, prepass=False
+            )
+        r = self._compact_renderer
+        fns = r._compact_fns
+        o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
+        d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
+        R = o.shape[0]
+        K = self.max_hits
+        voxels = jnp.full((R, K, 3), -1, dtype=I32)
+        dists = jnp.full((R, K), jnp.inf, dtype=F32)
+        state = fns["init"](r.tree, o, d, None)
+        orig = jnp.arange(R, dtype=I32)
+
+        def shrink_to(cur, n_live):
+            bucket = cur
+            while bucket // shrink >= max(n_live, min_bucket):
+                bucket //= shrink
+            return bucket
+
+        for k in range(K):
+            total_iters = 0
+            while True:
+                cur = state[0].shape[0]
+                iters = round_iters if cur >= R else 4 * round_iters
+                state, n_dev = fns["run"](r.tree, state, iters)
+                total_iters += iters
+                n = int(n_dev)
+                if n == 0 or total_iters >= self._max_iters:
+                    break
+                bucket = shrink_to(cur, n)
+                if bucket < cur:
+                    perm = fns["perm"](state[10], bucket)
+                    state, orig = fns["apply_perm"](state, orig, perm)
+            voxels, dists = self._seg_scatter(voxels, dists, state, orig, o, k)
+            if k + 1 >= K:
+                break
+            state = self._continue_state(state)
+            n_cont = int(jnp.sum(state[10]))
+            if n_cont == 0:
+                break
+            bucket = shrink_to(state[0].shape[0], n_cont)
+            if bucket < state[0].shape[0]:
+                perm = fns["perm"](state[10], bucket)
+                state, orig = fns["apply_perm"](state, orig, perm)
+        count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
+        return count, voxels, dists
 
     def composite(self, params, voxels, bg_color=None):
         """Differentiable transmittance compositing over recorded voxels."""
