@@ -1,0 +1,108 @@
+"""Forward+backward benchmark: one differentiable training step at 1080p.
+
+The BASELINE.json companion metric (PERF.md "Forward+backward"): multi-hit
+march (K=2, soft-occupancy path) + jitted gradients of the transmittance-
+composited loss w.r.t. dense albedo + opacity logits, on the bench.py scene.
+
+Runs both the plain (K serial full-width marches) and the compacted
+(misses drop out between segments) tracer in ONE session so the A/B is
+meaningful despite the tunnel's run-to-run variance (CLAUDE.md).
+
+    python benches/fwd_bwd.py            # both variants, best-of-3 each
+    python benches/fwd_bwd.py --compact  # compacted only
+    python benches/fwd_bwd.py --plain    # plain only
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+RES = (1920, 1080)
+
+
+def main():
+    if "--compact" in sys.argv and "--plain" in sys.argv:
+        sys.exit("--compact and --plain are mutually exclusive (omit both to run the A/B)")
+    import jax
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from bench import build_scene
+    from voxelhex_tpu.diff.soft import SoftRenderer
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = build_scene()
+    r = SoftRenderer(tree, max_hits=2, max_iters=2048)
+    cam = orbit_camera(128.0, resolution=RES)
+    o, d = device_rays(cam)  # rays never leave the device (PERF.md)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    rays = RES[0] * RES[1]
+
+    params = r.init_params()
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def grad_step(params, voxels, target):
+        def loss_fn(p):
+            return r.loss(p, voxels, target)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    variants = []
+    if "--plain" not in sys.argv:
+        variants.append(("compacted", True))
+    if "--compact" not in sys.argv:
+        variants.append(("plain", False))
+
+    results = {}
+    for name, compact in variants:
+        # warm (compiles the trace rounds + the grad program)
+        _c, voxels, _t = r.trace_hits(o, d, compact=compact)
+        voxels = jax.lax.stop_gradient(voxels)
+        target = jax.lax.stop_gradient(r.composite(params, voxels))
+        loss, grads = grad_step(params, voxels, target)
+        jax.block_until_ready(grads["logits"])
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _c, voxels, _t = r.trace_hits(o, d, compact=compact)
+            voxels = jax.lax.stop_gradient(voxels)
+            loss, grads = grad_step(params, voxels, target)
+            jax.block_until_ready(grads["logits"])
+            best = min(best, time.time() - t0)
+        results[name] = best
+        print(
+            json.dumps(
+                {
+                    "metric": f"rays_per_sec_fwdbwd_1080p_{name}",
+                    "value": round(rays / best, 1),
+                    "unit": "rays/s",
+                    "step_s": round(best, 3),
+                }
+            )
+        )
+
+    if len(results) == 2:
+        print(
+            json.dumps(
+                {
+                    "metric": "compacted_speedup_fwdbwd",
+                    "value": round(results["plain"] / results["compacted"], 3),
+                    "unit": "x",
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
