@@ -107,3 +107,28 @@ def test_delta_upload_matches_full_rebuild():
     view._mark_window_dirty()
     img_full = view.render(cam)
     np.testing.assert_allclose(img_delta, img_full, atol=1e-6)
+
+
+def test_window_shift_keeps_device_in_sync():
+    """Budgeted window moves translate resident content ON DEVICE (roll +
+    exposed-slab clear); no stale cells may survive a shift (regression:
+    the partial-upload path used to skip shifted resident regions)."""
+    tree = make_tree()
+    for p in [(40, 40, 40), (42, 40, 40), (40, 42, 40)]:
+        tree.insert(p, RED)
+    # budget small enough that the partial path (not a full rebuild) runs
+    view = StreamingView(tree, view_size=128, regions_per_update=8)
+    for _ in range(600):
+        if view.update(np.array([41.0, 41.0, 40.0])) == 0:
+            break
+    for tgt in ([120.0, 41.0, 40.0], [20.0, 41.0, 40.0], [41.0, 90.0, 100.0]):
+        for _ in range(200):
+            if view.update(np.array(tgt)) == 0:
+                break
+        bg = view.renderer.bitgrid
+        dev_cols = np.asarray(view.renderer.tree["colors"])
+        host_cols = view._col.transpose(2, 1, 0).ravel()
+        assert (dev_cols != host_cols).sum() == 0
+        dev_pairs = np.asarray(view.renderer.tree["occ_pairs"])
+        host_pairs = np.stack([bg.occ_lo, bg.occ_hi], 1).astype(np.uint32)
+        assert (dev_pairs != host_pairs).sum() == 0

@@ -124,6 +124,8 @@ class StreamingView:
         if not np.array_equal(new_origin, self.origin):
             shift = new_origin - self.origin
             self._shift_window(shift)
+            if self.renderer is not None:
+                self._shift_device(shift)
             self.origin = new_origin
 
         budget = self.regions_per_update
@@ -180,6 +182,68 @@ class StreamingView:
             for z in range(n)
             if (x, y, z) not in self._resident
         }
+
+    def _shift_device(self, shift):
+        """Window moved by ``shift`` (region-aligned world voxels): translate
+        the resident device arrays by ``-shift`` ON DEVICE and clear the
+        exposed slab — pure device data movement, no bulk re-upload (the
+        reference re-anchors its victim cache by node keys and pays nothing,
+        streaming/cache.rs; our dense window pays one on-device roll).  The
+        exposed slab re-uploads as its regions rasterize.  Keeps the host
+        pyramid/color mirrors and the (tiny) coarse device levels in sync."""
+        import jax
+        import jax.numpy as jnp
+
+        S = self.view_size
+        nb = S // 4
+        bg = self.renderer.bitgrid
+        tree_dev = self.renderer.tree
+
+        if not hasattr(self, "_roll_fn"):
+
+            def roll_zero(grid, s, fill):
+                # grid is [z, y, x, ...]; window content moves by -s
+                g = jnp.roll(grid, shift=(-s[2], -s[1], -s[0]), axis=(0, 1, 2))
+                for ax, sh in ((0, s[2]), (1, s[1]), (2, s[0])):
+                    idx = jnp.arange(grid.shape[ax])
+                    keep = jnp.where(
+                        sh >= 0, idx < grid.shape[ax] - sh, idx >= -sh
+                    )
+                    shape = [1] * grid.ndim
+                    shape[ax] = -1
+                    g = jnp.where(keep.reshape(shape), g, fill)
+                return g
+
+            self._roll_fn = jax.jit(roll_zero)
+
+        s = jnp.asarray(np.asarray(shift, dtype=np.int32))
+        cols = tree_dev["colors"].reshape(S, S, S)
+        cols = self._roll_fn(cols, s, jnp.asarray(COLOR_EMPTY, cols.dtype))
+        tree_dev["colors"] = cols.reshape(-1)
+
+        pairs = tree_dev["occ_pairs"]
+        p0 = pairs[: nb**3].reshape(nb, nb, nb, 2)
+        p0 = self._roll_fn(p0, s // 4, jnp.asarray(0, p0.dtype))
+        pairs = pairs.at[: nb**3].set(p0.reshape(-1, 2))
+
+        # host mirrors from the shifted window, coarse levels re-uploaded
+        # (a few tens of KB)
+        levels_lo, levels_hi = [], []
+        grid = self._occ
+        while grid.shape[0] > 1:
+            lo, hi, coarse = _pack_bits(grid)
+            levels_lo.append(lo)
+            levels_hi.append(hi)
+            grid = coarse
+        bg.occ_lo = np.concatenate(levels_lo)
+        bg.occ_hi = np.concatenate(levels_hi)
+        bg.colors = self._col.transpose(2, 1, 0).ravel()
+        base1 = nb**3
+        coarse_pairs = np.stack(
+            [bg.occ_lo[base1:], bg.occ_hi[base1:]], axis=1
+        ).astype(np.uint32)
+        pairs = pairs.at[base1:].set(jnp.asarray(coarse_pairs))
+        tree_dev["occ_pairs"] = pairs
 
     def _flat_snapshot(self):
         """Cached flat snapshot of the host tree for fast window walks."""
