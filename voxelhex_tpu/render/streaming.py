@@ -48,11 +48,14 @@ class StreamingView:
         view_size: int = 256,
         regions_per_update: int = 64,
         prepass: bool = False,
+        placeholder_lod: bool = True,
     ):
         assert view_size % REGION == 0
         self.tree = tree
         self.view_size = int(view_size)
         self.regions_per_update = int(regions_per_update)
+        self.placeholder_lod = bool(placeholder_lod)
+        self._placeholder: set = set()  # regions holding coarse LOD content
         self.origin = np.zeros(3, dtype=np.int64)  # view window min corner
 
         # resident CPU mirrors of the dense grids
@@ -106,6 +109,7 @@ class StreamingView:
                 for z in range(r0[2], r1[2]):
                     self._dirty.add((x, y, z))
                     self._resident.discard((x, y, z))
+                    self._placeholder.discard((x, y, z))
 
     # ------------------------------------------------------------------
 
@@ -128,24 +132,33 @@ class StreamingView:
                 self._shift_device(shift)
             self.origin = new_origin
 
+        filled = []
+        if self.placeholder_lod and self._dirty:
+            fresh = [r for r in self._dirty if r not in self._placeholder]
+            if fresh:
+                self._fill_placeholders(fresh)
+                filled = fresh
+
         budget = self.regions_per_update
         uploaded = []
         while self._dirty and budget > 0:
             region = self._dirty.pop()
             self._rasterize_region(region)
             self._resident.add(region)
+            self._placeholder.discard(region)
             budget -= 1
             self.uploads += 1
             uploaded.append(region)
 
-        if self.renderer is None or len(uploaded) > (self._region_range() ** 3) // 10:
-            if uploaded or self.renderer is None:
+        touched = list({*uploaded, *filled})
+        if self.renderer is None or len(touched) > (self._region_range() ** 3) // 2:
+            if touched or self.renderer is None:
                 self._rebuild_device()
-        elif uploaded:
+        elif touched:
             # delta path: update only the touched device words (the
             # reference's coalesced write_range_to_buffer analog,
             # streaming/mod.rs:344-370)
-            self._update_device_partial(uploaded)
+            self._update_device_partial(touched)
         return len(self._dirty)
 
     def _shift_window(self, shift):
@@ -168,13 +181,18 @@ class StreamingView:
 
         # recompute residency after the shift
         n = self._region_range()
-        shifted = set()
         shift_r = shift // REGION
-        for x, y, z in self._resident:
-            nx, ny, nz = x - shift_r[0], y - shift_r[1], z - shift_r[2]
-            if 0 <= nx < n and 0 <= ny < n and 0 <= nz < n:
-                shifted.add((int(nx), int(ny), int(nz)))
-        self._resident = shifted
+
+        def shift_set(regions):
+            out = set()
+            for x, y, z in regions:
+                nx, ny, nz = x - shift_r[0], y - shift_r[1], z - shift_r[2]
+                if 0 <= nx < n and 0 <= ny < n and 0 <= nz < n:
+                    out.add((int(nx), int(ny), int(nz)))
+            return out
+
+        self._resident = shift_set(self._resident)
+        self._placeholder = shift_set(self._placeholder)
         self._dirty = {
             (x, y, z)
             for x in range(n)
@@ -253,6 +271,44 @@ class StreamingView:
             self._flat = flatten(self.tree)
         return self._flat
 
+    def _fill_placeholders(self, regions):
+        """Coarse LOD placeholder content for not-yet-paged regions — the
+        reference's MIP probe for data the streamer hasn't uploaded yet
+        (viewport_render.wgsl:328-364 ``probe_MIP``): each 4^3 block of a
+        pending region renders as a solid block of its node's MIP color
+        until the real content pages in and overwrites it."""
+        from voxelhex_tpu.tree.flat import EMPTY_DESC, NO_COLOR_HIT, sample_coarse
+
+        B = 4  # placeholder block edge (matches the bitmap block/brick size)
+        nb = REGION // B
+        regions = [tuple(int(c) for c in r) for r in regions]
+        base = np.asarray(regions, dtype=np.int64) * REGION + self.origin
+        offs = np.stack(
+            np.meshgrid(*[np.arange(nb)] * 3, indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+        q = (base[:, None, :] + offs[None, :, :] * B + B // 2).reshape(-1, 3)
+        inside = np.all((q >= 0) & (q < self.tree.size), axis=1)
+        occ = np.zeros(q.shape[0], dtype=bool)
+        col = np.full(q.shape[0], EMPTY_DESC, dtype=np.int32)
+        if inside.any():
+            o, c = sample_coarse(self._flat_snapshot(), q[inside], B)
+            occ[inside] = o
+            col[inside] = c
+        col16 = np.where(
+            col == NO_COLOR_HIT, 0xFFFE, np.clip(col, 0, 0xFFFD)
+        ).astype(np.uint16)
+        col16 = np.where(occ, col16, COLOR_EMPTY)
+        occ = occ.reshape(len(regions), nb, nb, nb)
+        col16 = col16.reshape(len(regions), nb, nb, nb)
+        for i, r in enumerate(regions):
+            x0, y0, z0 = (int(c) * REGION for c in r)
+            sl = np.s_[x0 : x0 + REGION, y0 : y0 + REGION, z0 : z0 + REGION]
+            o_exp = occ[i].repeat(B, 0).repeat(B, 1).repeat(B, 2)
+            c_exp = col16[i].repeat(B, 0).repeat(B, 1).repeat(B, 2)
+            self._occ[sl] = o_exp
+            self._col[sl] = np.where(o_exp, c_exp, COLOR_EMPTY)
+            self._placeholder.add(r)
+
     def _rasterize_region(self, region):
         """Fill one REGION^3 window region from the host tree (native
         clipped tree walk when available, per-voxel queries otherwise)."""
@@ -304,6 +360,15 @@ class StreamingView:
         bg = self.renderer.bitgrid
         tree_dev = self.renderer.tree
         nb = S // 4
+
+        # pad the batch to a power-of-2 count (repeat the first region —
+        # scattering identical values twice is idempotent) so the device
+        # scatter programs come from a small shape ladder instead of one
+        # compile per distinct region count (remote compiles are minutes)
+        target = 1
+        while target < len(regions):
+            target *= 2
+        regions = list(regions) + [regions[0]] * (target - len(regions))
 
         col_idx = []
         col_val = []

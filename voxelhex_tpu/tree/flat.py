@@ -218,3 +218,121 @@ def flatten(tree: BoxTree) -> FlatTree:
         palette=palette,
         brick_ocbits=brick_ocbits,
     )
+
+
+def sample_coarse(flat: FlatTree, pts: np.ndarray, granularity: int | None = None):
+    """Vectorized coarse LOD sample: occupancy + representative color for
+    cells of edge ``granularity`` containing each query point.
+
+    The host-side analog of the reference's MIP probe for not-yet-streamed
+    data (reference: viewport_render.wgsl:328-364 ``probe_MIP`` — when a
+    brick is absent but the occupancy bit is set, the node's MIP brick
+    supplies a coarse color).  Here the streaming layer calls it to fill
+    not-yet-paged window regions with coarse placeholder content.
+
+    Returns ``(occupied [M] bool, color [M] int32)`` where color is a flat
+    voxel value (palette index, NO_COLOR_HIT, or EMPTY_DESC when the cell is
+    empty or colorless).  Sources, best first:
+
+    * the deepest covering node's MIP brick texel (texel size =
+      node_size / brick_dim — equals ``granularity`` when the descent
+      bottoms out at node_size = granularity * brick_dim);
+    * leaf/uniform brick data (solid value, or a point sample of the brick
+      voxel at the query point);
+    * the node's sectant occupancy bit with NO_COLOR_HIT (mips disabled).
+    """
+    pts = np.asarray(pts, dtype=np.int64).reshape(-1, 3)
+    M = pts.shape[0]
+    g = int(granularity) if granularity else int(flat.brick_dim)
+    d = int(flat.brick_dim)
+
+    key = np.zeros(M, dtype=np.int64)
+    node_min = np.zeros((M, 3), dtype=np.int64)
+    node_size = np.full(M, flat.size, dtype=np.int64)
+    done = np.zeros(M, dtype=bool)
+
+    # descend to the deepest internal node whose MIP texels are >= g
+    while True:
+        is_leaf = (flat.node_meta[key] & META_LEAF) != 0
+        can = ~done & ~is_leaf & (node_size > g * d)
+        if not can.any():
+            break
+        cell = node_size // 4
+        rel = np.clip((pts - node_min) // cell[:, None], 0, 3)
+        sect = rel[:, 0] + rel[:, 1] * 4 + rel[:, 2] * 16
+        child = flat.node_children[key, sect].astype(np.int64)
+        step = can & (child >= 0)
+        done |= can & (child < 0)
+        if not step.any():
+            break
+        node_min = np.where(step[:, None], node_min + rel * cell[:, None], node_min)
+        node_size = np.where(step, cell, node_size)
+        key = np.where(step, child, key)
+
+    # per-point cell within the final node
+    cell = node_size // 4
+    rel = np.clip((pts - node_min) // cell[:, None], 0, 3)
+    sect = rel[:, 0] + rel[:, 1] * 4 + rel[:, 2] * 16
+    oc_lo = flat.node_ocbits[key, 0].astype(np.uint64)
+    oc_hi = flat.node_ocbits[key, 1].astype(np.uint64)
+    occ64 = oc_lo | (oc_hi << np.uint64(32))
+    bit_occupied = (occ64 >> sect.astype(np.uint64)) & np.uint64(1) != 0
+
+    occupied = bit_occupied.copy()
+    color = np.full(M, EMPTY_DESC, dtype=np.int32)
+
+    def _texel_sample(mask, desc, bmin, bsize):
+        """Sample brick descriptors (solid or pool index) at the query pts."""
+        if not mask.any():
+            return
+        solid = mask & ((desc & SOLID_FLAG) != 0)
+        color[solid] = (desc[solid] & ~SOLID_FLAG).astype(np.int32)
+        occupied[solid] = color[solid] != EMPTY_DESC
+        parted = mask & ((desc & SOLID_FLAG) == 0) & (desc != EMPTY_DESC)
+        if parted.any():
+            t = np.clip((pts[parted] - bmin[parted]) * d // bsize[parted, None], 0, d - 1)
+            fi = t[:, 0] + t[:, 1] * d + t[:, 2] * d * d
+            v = flat.bricks[desc[parted], fi]
+            color[parted] = v
+            occupied[parted] = v != EMPTY_DESC
+        empty = mask & (desc == EMPTY_DESC)
+        occupied[empty] = False
+
+    # 1) MIP brick texels (span the whole node)
+    mip = flat.node_mips[key].astype(np.int64)
+    has_mip = mip != EMPTY_DESC
+    _texel_sample(has_mip, mip, node_min, node_size)
+
+    # 2) leaf/uniform brick data where no MIP exists
+    is_leaf = (flat.node_meta[key] & META_LEAF) != 0
+    is_uniform = (flat.node_meta[key] & META_UNIFORM) != 0
+    leaf_only = ~has_mip & is_leaf
+    if leaf_only.any():
+        desc = flat.node_children[key, np.where(is_uniform, 0, sect)].astype(np.int64)
+        # uniform bricks span the node; leaf bricks span the sectant cell
+        bmin = np.where(is_uniform[:, None], node_min, node_min + rel * cell[:, None])
+        bsize = np.where(is_uniform, node_size, cell)
+        _texel_sample(leaf_only, desc, bmin, bsize)
+        # a point sample under-reports a cell covered by exactly one brick:
+        # fall back to any-voxel occupancy + the brick's first non-empty color
+        missed = (
+            leaf_only
+            & ~occupied
+            & ((desc & SOLID_FLAG) == 0)
+            & (desc != EMPTY_DESC)
+            & (bsize <= g)
+        )
+        if missed.any():
+            vox = flat.bricks[desc[missed]]  # [K, d^3]
+            nonempty = vox != EMPTY_DESC
+            any_occ = nonempty.any(axis=1)
+            first = np.argmax(nonempty, axis=1)
+            occupied[missed] = any_occ
+            cm = color[missed]
+            cm[any_occ] = vox[np.arange(vox.shape[0]), first][any_occ]
+            color[missed] = cm
+
+    # 3) internal node without MIP: occupancy bit only, colorless
+    bit_only = ~has_mip & ~is_leaf & bit_occupied
+    color[bit_only] = NO_COLOR_HIT
+    return occupied, color
