@@ -85,13 +85,21 @@ def main():
     for _ in range(2):
         np.asarray(renderer.render(cam, out_u8=True))
 
-    # the tunnel has high run-to-run variance; report the best of 5 frames
+    # throughput over a pipelined batch: frame downloads overlap the next
+    # frame's compute (FramePipeline) — the reference's output likewise
+    # stays in a GPU texture consumed by the presentation pass rather than
+    # round-tripping per frame.  Best of 3 batches (tunnel variance).
+    from voxelhex_tpu.render.pipeline import FramePipeline
+
+    pipe = FramePipeline(renderer)
+    N = 5
     best = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.time()
-        img = renderer.render(cam, out_u8=True)
-        np.asarray(img)
-        best = min(best, time.time() - t0)
+        futs = [pipe.render(cam, out_u8=True) for _ in range(N)]
+        for f in futs:
+            f.result()
+        best = min(best, (time.time() - t0) / N)
 
     rays = RES[0] * RES[1]
     rays_per_sec = rays / best

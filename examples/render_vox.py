@@ -45,13 +45,29 @@ def main():
 
     if tree.size > 512:
         # vast scene: render through the streaming window instead of a dense
-        # whole-world build
+        # whole-world build, framing the CONTENT bounds (the model may sit
+        # anywhere in the padded world cube)
+        from dataclasses import replace
+
+        import numpy as np
+
+        from voxelhex_tpu.io.vox import load_vox_scene
         from voxelhex_tpu.render.streaming import StreamingView
 
         print(f"world {tree.size} > 512: using the streaming view window")
-        renderer = StreamingView(tree, view_size=256, regions_per_update=100000)
-        cam = orbit_camera(256.0, yaw_deg=args.yaw, pitch_deg=args.pitch,
+        pts, _cols = load_vox_scene(args.vox)
+        lo, hi = pts.min(axis=0), pts.max(axis=0) + 1
+        # frame the densest structure, not the (outlier-skewed) bbox: median
+        # of the elevated voxels, falling back to all voxels for flat scenes
+        tall = pts[pts[:, 1] > (lo[1] + hi[1]) / 4] if hi[1] - lo[1] > 8 else pts
+        center = np.median(tall if len(tall) else pts, axis=0)
+        view = 256
+        extent = float(min((hi - lo).max(), view))
+        renderer = StreamingView(tree, view_size=view, regions_per_update=100000)
+        cam = orbit_camera(extent, yaw_deg=args.yaw, pitch_deg=args.pitch,
                            resolution=(w, h))
+        shift = (center - extent / 2.0).astype(np.float32)
+        cam = replace(cam, origin=cam.origin + shift, target=cam.target + shift)
     else:
         t0 = time.time()
         flat = flatten(tree)

@@ -830,10 +830,13 @@ class BitGridRenderer:
         return hit, voxel, hvox, hpoint, hnormal
 
     def render(self, camera, bg=(0.0, 0.0, 0.0), compact: bool = True,
-               out_u8: bool = False):
+               out_u8: bool = False, out_device: bool = False):
         """Render a frame.  ``out_u8`` quantizes to uint8 ON DEVICE (the
         reference's rgba8 output-texture convention) — 4x less host
-        transfer, which dominates remote-TPU frame time."""
+        transfer, which dominates remote-TPU frame time.  ``out_device``
+        returns the [h, w, 3] DEVICE array without fetching, so callers can
+        overlap the download with the next frame's compute
+        (:class:`voxelhex_tpu.render.pipeline.FramePipeline`)."""
         from voxelhex_tpu.render.camera import device_rays
 
         w, h = camera.resolution
@@ -864,7 +867,8 @@ class BitGridRenderer:
                 rgb = self._shade_batch(self.tree, o, dv, bgc)
             if out_u8:
                 rgb = self._to_u8(rgb)
-            return np.asarray(rgb).reshape(h, w, 3)
+            rgb = rgb.reshape(h, w, 3)
+            return rgb if out_device else np.asarray(rgb)
 
         # compaction path: host-driven rounds, optional multi-level prepass
         from voxelhex_tpu.render.camera import Camera
@@ -891,7 +895,8 @@ class BitGridRenderer:
                 )
                 if out_u8:
                     rgb = self._to_u8(rgb)
-                return np.asarray(rgb).reshape(h, w, 3)
+                rgb = rgb.reshape(h, w, 3)
+                return rgb if out_device else np.asarray(rgb)
             hit, _voxel, _hv, hpoint, _hn = self.trace_compacted(
                 lo, ld, start_t=None if start is None else start.reshape(-1)
             )

@@ -873,6 +873,7 @@ class BoxTree:
             simplified = False
             solid_values = []
             uniform_solid = True
+            has_parted = False
             for i, brick in enumerate(node.bricks):
                 nb, changed = self.brick_simplify(brick)
                 node.bricks[i] = nb
@@ -881,6 +882,7 @@ class BoxTree:
                     solid_values.append(int(nb))
                 else:
                     uniform_solid = False
+                    has_parted |= nb is not None
             if uniform_solid and len(set(solid_values)) == 1:
                 node.ntype = UNIFORM
                 node.bricks = solid_values[0]
@@ -890,6 +892,10 @@ class BoxTree:
             # Try uniting the 64 bricks into ONE brick at 1/4 resolution:
             # possible when every 4x4x4 voxel block is constant.
             d = self.brick_dim
+            if d <= BOX_NODE_DIMENSION and has_parted:
+                # blocks are unions of whole bricks: any parted
+                # (non-homogeneous) brick makes some block non-constant
+                return simplified
             super_dim = d * BOX_NODE_DIMENSION
             full = np.empty((super_dim, super_dim, super_dim), dtype=np.uint32)
             for sectant in range(BOX_NODE_CHILDREN_COUNT):

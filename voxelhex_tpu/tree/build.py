@@ -29,8 +29,12 @@ from voxelhex_tpu.tree.boxtree import (
 def intern_colors(tree: BoxTree, colors: np.ndarray) -> np.ndarray:
     """Dedup (N,4) uint8 RGBA rows into the tree palette; returns packed
     voxel values (N,) uint32."""
-    colors = np.asarray(colors, dtype=np.uint8).reshape(-1, 4)
-    uniq, inverse = np.unique(colors, axis=0, return_inverse=True)
+    colors = np.ascontiguousarray(np.asarray(colors, dtype=np.uint8).reshape(-1, 4))
+    # dedup on a u32 view of the RGBA rows: scalar unique is ~10x faster
+    # than row-wise (lexsort) unique at millions of voxels
+    as_u32 = colors.view(np.uint32).ravel()
+    uniq32, inverse = np.unique(as_u32, return_inverse=True)
+    uniq = uniq32.view(np.uint8).reshape(-1, 4)
     idx_of_uniq = np.empty(len(uniq), dtype=np.int64)
     for i, row in enumerate(uniq):
         albedo = Albedo(int(row[0]), int(row[1]), int(row[2]), int(row[3]))
@@ -133,21 +137,42 @@ def from_voxels(
     leaf_grid = np.stack([bx // 4, by // 4, bz // 4], axis=1)
     sectants = (bx % 4) + (by % 4) * 4 + (bz % 4) * 16
 
+    # vectorized solid-brick collapse (same result as brick_simplify on
+    # every brick: all-equal values -> Solid int / Empty)
+    if simplify:
+        eq = (bricks == bricks[:, :1]).all(axis=1)
+        solid_empty = eq & empty_mask[:, 0]
+        solid = eq & ~empty_mask[:, 0]
+    else:
+        solid = solid_empty = np.zeros(len(bricks), dtype=bool)
+
+    lpa = max(cpa // 4, 1)  # leaf nodes per axis
+    leaf_ids = leaf_grid[:, 0] + leaf_grid[:, 1] * lpa + leaf_grid[:, 2] * lpa * lpa
+    uniq_leaves, leaf_inv = np.unique(leaf_ids, return_inverse=True)
+    occ_nonzero = np.array([int(b) != 0 for b in occ_bits])
+    sect_bits = np.where(
+        occ_nonzero, np.uint64(1) << sectants.astype(np.uint64), np.uint64(0)
+    )
+    leaf_occ = np.zeros(len(uniq_leaves), dtype=np.uint64)
+    np.bitwise_or.at(leaf_occ, leaf_inv, sect_bits)
+
     leaf_nodes: dict[tuple, int] = {}
+    node_objs = []
+    for j, lid in enumerate(uniq_leaves):
+        node = _Node()
+        node.ntype = LEAF
+        node.bricks = [None] * BOX_NODE_CHILDREN_COUNT
+        node.occupied = int(leaf_occ[j])
+        key = tree._push_node(node)
+        lg = (int(lid % lpa), int((lid // lpa) % lpa), int(lid // (lpa * lpa)))
+        leaf_nodes[lg] = key
+        node_objs.append(node)
     for i in range(len(uniq_cells)):
-        lg = (int(leaf_grid[i, 0]), int(leaf_grid[i, 1]), int(leaf_grid[i, 2]))
-        key = leaf_nodes.get(lg)
-        if key is None:
-            node = _Node()
-            node.ntype = LEAF
-            node.bricks = [None] * BOX_NODE_CHILDREN_COUNT
-            key = tree._push_node(node)
-            leaf_nodes[lg] = key
-        node = tree.node(key)
-        s = int(sectants[i])
-        node.bricks[s] = bricks[i].copy()
-        if occ_bits[i] != 0:
-            node.occupied |= 1 << s
+        if solid_empty[i]:
+            continue
+        node_objs[leaf_inv[i]].bricks[int(sectants[i])] = (
+            int(bricks[i, 0]) if solid[i] else bricks[i]
+        )
 
     # build internal levels bottom-up; level L has extent 4d per node
     levels = 0
