@@ -153,7 +153,7 @@ class SoftRenderer:
         return self._trace(self.tree, o, d)
 
     def trace_hits_compacted(
-        self, origins, dirs, round_iters: int = 24, shrink: int = 4,
+        self, origins, dirs, round_iters: int = 20, shrink: int = 4,
         min_bucket: int = 8192,
     ):
         """Multi-hit march with straggler compaction BETWEEN segments: rays

@@ -301,8 +301,14 @@ def device_bitgrid(bg: BitGrid) -> dict:
 
 
 def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4,
-                        lod_scale: float = 0.0):
-    """``trace(tree, origins, dirs, start_t=None)`` over the dense pyramid."""
+                        lod_scale: float = 0.0, lateral_step: bool = True):
+    """``trace(tree, origins, dirs, start_t=None)`` over the dense pyramid.
+
+    ``lateral_step``: on block exit, move DIRECTLY to the same-level
+    neighbor block (computed address — the dense pyramid needs no pointer
+    tree) instead of the reference's POP+re-PUSH pair; empty neighbors
+    still ascend via the reachability mask on the next iteration.  Saves
+    one fetch-iteration per lateral block crossing; bit-exact results."""
     S = float(bg.size)
     Si = int(bg.size)
     n_levels = bg.n_levels
@@ -411,8 +417,13 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         active = active & (~found)
 
         descend = active & occupied & (~at_bottom) & (tsect < OOB)
-        ascend = active & ((tsect >= OOB) | no_overlap) & (~descend)
-        advance = active & (~descend) & (~ascend)
+        if lateral_step:
+            lateral = active & (tsect >= OOB) & (~descend)
+            ascend = active & no_overlap & (~descend) & (~lateral)
+        else:
+            lateral = jnp.zeros_like(active)
+            ascend = active & ((tsect >= OOB) | no_overlap) & (~descend)
+        advance = active & (~descend) & (~ascend) & (~lateral)
 
         # --- DESCEND into the occupied cell
         d_level = level - 1
@@ -452,16 +463,29 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
             stop = (v_ts >= OOB) | (_occ_bit_v(occ_lo, occ_hi, v_ts) != 0)
             v_go = v_go & (~stop)
 
+        # --- LATERAL: same-level neighbor block via computed address (the
+        # dense pyramid has no pointer tree to re-descend)
+        l_bmin = bmin + a_step * block[:, None]
+        l_tsect = _offset_sectant_v(a_new_p - l_bmin, block)
+        l_tmin = l_bmin + _sectant_offset_v(jnp.clip(l_tsect, 0, 63)) * block[:, None]
+        # leaving the world: the neighbor block starts outside [0, size)
+        # (exact test — the stepped point itself can sit ON the face)
+        l_out = lateral & jnp.any((l_bmin < 0.0) | (l_bmin >= size), axis=-1)
+        active = active & (~l_out)
+        lateral = lateral & (~l_out)
+
         old_tmin = tmin  # block of a DESCEND target = the old cell
         point = jnp.where(advance[:, None], v_p, point)
-        point = jnp.where(ascend[:, None], a_new_p, point)
+        point = jnp.where((ascend | lateral)[:, None], a_new_p, point)
 
         tsect = jnp.where(descend, d_tsect, tsect)
         tsect = jnp.where(ascend, a_ts, tsect)
+        tsect = jnp.where(lateral, l_tsect, tsect)
         tsect = jnp.where(advance, v_ts, tsect)
 
         tmin = jnp.where(descend[:, None], d_tmin, tmin)
         tmin = jnp.where(ascend[:, None], a_tmin, tmin)
+        tmin = jnp.where(lateral[:, None], l_tmin, tmin)
         tmin = jnp.where(advance[:, None], v_tmin, tmin)
 
         tsize = jnp.where(descend, d_tsize, tsize)
@@ -470,6 +494,7 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         level = jnp.where(ascend, a_level, level)
         bmin = jnp.where(descend[:, None], old_tmin, bmin)
         bmin = jnp.where(ascend[:, None], parent_min, bmin)
+        bmin = jnp.where(lateral[:, None], l_bmin, bmin)
 
         # exit / restart when ascending past the top
         over_top = active & (level > top_level)
@@ -491,7 +516,7 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         bmin = jnp.where(can_restart[:, None], jnp.zeros_like(bmin), bmin)
 
         # ONE fetch for rays whose block changed
-        moved = descend | ascend | can_restart
+        moved = descend | ascend | lateral | can_restart
         new_lo, new_hi = fetch_words(tree, jnp.clip(level, 0, top_level), bmin)
         occ_lo = jnp.where(moved, new_lo, occ_lo)
         occ_hi = jnp.where(moved, new_hi, occ_hi)
@@ -575,6 +600,7 @@ class BitGridRenderer:
         max_iters: int = 2048,
         prepass: bool = False,
         prepass_levels: int = 2,
+        lateral_step: bool = True,
     ):
         self.prepass_levels = prepass_levels
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
@@ -582,7 +608,8 @@ class BitGridRenderer:
         self.tree = device_bitgrid(bg)
         self.prepass = prepass
         self._max_iters = max_iters
-        self._trace = make_bitgrid_tracer(bg, max_iters=max_iters)
+        self._trace = make_bitgrid_tracer(bg, max_iters=max_iters,
+                                          lateral_step=lateral_step)
         self._trace_jit = jax.jit(self._trace)
 
         def _scatter(state, orig, hit, hvox, hnormal, hpoint):
@@ -750,7 +777,7 @@ class BitGridRenderer:
         return np.asarray(rgb).reshape(h, w, 3)
 
     def trace_compacted(
-        self, origins, directions, start_t=None, round_iters: int = 24,
+        self, origins, directions, start_t=None, round_iters: int = 20,
         shrink: int = 4, min_bucket: int = 8192, shade_bg=None,
     ):
         """Trace with straggler compaction: run fixed-iteration rounds and
