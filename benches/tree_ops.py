@@ -55,6 +55,15 @@ def main():
     bench("get", lambda: [tree.get(p) for p in ins_pts], n)
     bench("clear", lambda: [tree.clear(p) for p in ins_pts], n)
 
+    # batched edit queue (one descent per touched brick)
+    from voxelhex_tpu.tree.build import insert_many
+
+    em_pts = rng.integers(0, size, (n, 3))
+    em_cols = np.zeros((n, 4), dtype=np.uint8)
+    em_cols[:, 1] = 200
+    em_cols[:, 3] = 255
+    bench("insert_many (batched)", lambda: insert_many(tree, em_pts, em_cols), n)
+
     with tempfile.NamedTemporaryFile(suffix=".vhx") as f:
         t0 = time.time()
         checkpoint.save_tree(f.name, tree)

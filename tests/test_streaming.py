@@ -132,3 +132,47 @@ def test_window_shift_keeps_device_in_sync():
         dev_pairs = np.asarray(view.renderer.tree["occ_pairs"])
         host_pairs = np.stack([bg.occ_lo, bg.occ_hi], 1).astype(np.uint32)
         assert (dev_pairs != host_pairs).sum() == 0
+
+
+def test_delta_upload_carries_new_palette_colors():
+    """Edits that intern NEW colors must reach the device palette through
+    the partial-update path (regression: new colors rendered black)."""
+    tree = make_tree()
+    view = StreamingView(tree, view_size=64, regions_per_update=100000)
+    cam = Camera(
+        origin=np.array([11.0, 11.0, -30.0]),
+        target=np.array([11.0, 11.0, 11.0]),
+        resolution=(24, 24),
+        fov_y_deg=30.0,
+    )
+    view.render(cam)
+    blue = Albedo.from_u32(0x0000FFFF)  # NOT in the palette yet
+    for p in [(11, 11, 9), (12, 11, 9), (11, 12, 9)]:
+        tree.insert(p, blue)
+    assert 0 < len(view._dirty) <= 8  # partial path
+    img = np.asarray(view.render(cam))
+    assert img[:, :, 2].max() > 0.2
+
+
+def test_insert_many_streams_through_view():
+    """Batched edits invalidate and re-render through the paged window."""
+    from voxelhex_tpu.tree.build import insert_many
+
+    tree = make_tree()
+    view = StreamingView(tree, view_size=64, regions_per_update=100000)
+    cam = Camera(
+        origin=np.array([11.0, 11.0, -30.0]),
+        target=np.array([11.0, 11.0, 11.0]),
+        resolution=(24, 24),
+        fov_y_deg=30.0,
+    )
+    view.render(cam)
+    xs, ys = np.meshgrid(np.arange(8, 16), np.arange(8, 16))
+    pts = np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, 9)], axis=1)
+    cols = np.zeros((len(pts), 4), dtype=np.uint8)
+    cols[:, 2] = 255
+    cols[:, 3] = 255
+    insert_many(tree, pts, cols)
+    assert len(view._dirty) > 0
+    img = np.asarray(view.render(cam))
+    assert img[:, :, 2].max() > 0.2

@@ -421,6 +421,21 @@ class StreamingView:
         bg.occ_lo = np.concatenate(levels_lo)
         bg.occ_hi = np.concatenate(levels_hi)
 
+        # color-palette delta (reference: streaming/mod.rs palette delta):
+        # edits may have interned NEW colors; the padded device palette must
+        # follow or new voxels shade black
+        n_colors = len(self.tree.color_palette)
+        if n_colors > bg.palette.shape[0]:
+            # padding capacity exceeded: shapes change -> full rebuild
+            self._rebuild_device()
+            return
+        if n_colors != getattr(self, "_dev_palette_count", -1):
+            for i, c in enumerate(self.tree.color_palette):
+                bg.palette[i] = [c.r / 255.0, c.g / 255.0, c.b / 255.0,
+                                 c.a / 255.0]
+            tree_dev["palette"] = jnp.asarray(bg.palette)
+            self._dev_palette_count = n_colors
+
         # device updates: colors scatter, level-0 pairs scatter, coarse block
         occ_pairs = tree_dev["occ_pairs"]
         occ_pairs = occ_pairs.at[jnp.asarray(blk_idx)].set(
@@ -457,6 +472,7 @@ class StreamingView:
         palette = np.zeros((n_rows, 4), dtype=np.float32)
         for i, c in enumerate(self.tree.color_palette):
             palette[i] = [c.r / 255.0, c.g / 255.0, c.b / 255.0, c.a / 255.0]
+        self._dev_palette_count = len(self.tree.color_palette)
         bg = BitGrid(
             size=self.view_size,
             n_levels=len(levels_lo),

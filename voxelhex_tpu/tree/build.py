@@ -218,3 +218,222 @@ def from_voxels(
 
         mipmap.recalculate_mips(tree)
     return tree
+
+
+def insert_many(tree: BoxTree, positions: np.ndarray, colors: np.ndarray) -> int:
+    """Batched point inserts into an EXISTING tree — the edit-queue analog of
+    the reference's per-voxel import loop (insert semantics: overwrite;
+    duplicates last-wins).
+
+    One tree descent per touched brick instead of one per voxel, vectorized
+    brick scatters, and a single bottom-up post-process (occupancy, MIP
+    texels, occlusion, simplify) — same final content as calling
+    ``tree.insert`` per voxel, at bulk-build cost.  Fires one
+    ``update_trigger`` per touched bottom node so streaming invalidation
+    sees the same signals.  Unusual structures (nodes subdivided below
+    brick size) fall back to per-voxel ``insert``.  Returns the number of
+    voxels written.
+    """
+    from voxelhex_tpu.spatial.math import child_bounds_for, offset_sectant
+    from voxelhex_tpu.tree.boxtree import EMPTY_KEY, NOTHING, UNIFORM, Albedo as _A
+
+    d = tree.brick_dim
+    size = tree.size
+    positions = np.asarray(positions, dtype=np.int64).reshape(-1, 3)
+    if len(positions) == 0:
+        return 0
+    if positions.min() < 0 or positions.max() >= size:
+        raise ValueError("voxel positions out of tree bounds")
+    packed = intern_colors(tree, colors)
+    keep = packed != EMPTY_VOXEL
+    positions, packed = positions[keep], packed[keep]
+    if len(positions) == 0:
+        return 0
+
+    # dedup, last wins
+    lin = positions[:, 0] + positions[:, 1] * size + positions[:, 2] * size * size
+    _, first_idx = np.unique(lin[::-1], return_index=True)
+    sel = len(lin) - 1 - first_idx
+    positions, packed = positions[sel], packed[sel]
+
+    # group by brick cell
+    cells = positions // d
+    cpa = size // d
+    cell_id = cells[:, 0] + cells[:, 1] * cpa + cells[:, 2] * cpa * cpa
+    order = np.argsort(cell_id, kind="stable")
+    positions, packed, cell_id, cells = (
+        positions[order], packed[order], cell_id[order], cells[order]
+    )
+    group_bounds = np.nonzero(np.diff(cell_id))[0] + 1
+    groups = np.split(np.arange(len(cell_id)), group_bounds)
+
+    within = positions % d
+    flat_in_brick = within[:, 0] + within[:, 1] * d + within[:, 2] * d * d
+
+    written = 0
+    touched = []  # (access_stack, bottom_key, bottom_min, bottom_size, sectant, cell_min)
+    for g in groups:
+        pos0 = positions[g[0]].astype(np.float64)
+        # descend, creating/subdividing exactly like _insert_at_lod_internal
+        key = tree.ROOT
+        cur_min = np.zeros(3, dtype=np.float64)
+        cur_size = float(size)
+        stack = []
+        fallback = False
+        while True:
+            sectant = offset_sectant(pos0 - cur_min, cur_size)
+            stack.append((key, sectant))
+            tmin, tsize = child_bounds_for(cur_min, cur_size, sectant)
+            node = tree.node(key)
+            child = node.child(sectant)
+            if tsize > d:
+                if tree.key_is_valid(child):
+                    key, cur_min, cur_size = child, tmin.astype(np.float64), tsize
+                    continue
+                if node.ntype in (LEAF, UNIFORM):
+                    tree.subdivide_leaf_to_nodes(key, sectant)
+                    key = tree.node(key).child(sectant)
+                else:
+                    if node.ntype == NOTHING:
+                        node.ntype = INTERNAL
+                        node.occupied = 0
+                    key = tree._push_node(_Node())
+                    node.set_child(sectant, key)
+                cur_min, cur_size = tmin.astype(np.float64), tsize
+                continue
+            # tsize == d: bottom. A child NODE below brick size -> slow path.
+            if tree.key_is_valid(child):
+                fallback = True
+            break
+
+        if fallback:
+            # exact slow path: the packed values map 1:1 to palette colors
+            for i in g:
+                c = tree.color_palette[int(packed[i]) & 0xFFFF]
+                tree.insert(tuple(int(v) for v in positions[i]), c)
+            written += len(g)
+            continue
+
+        node = tree.node(key)
+        sectant = stack[-1][1]
+        # materialize the target brick as a parted array (mirroring
+        # leaf_update's UNIFORM/INTERNAL conversions)
+        if node.ntype == UNIFORM:
+            brick = node.bricks
+            if isinstance(brick, (int, np.integer)):
+                brick = tree._new_brick(fill=int(brick))
+            if brick is None:
+                node.ntype = LEAF
+                node.bricks = [None] * BOX_NODE_CHILDREN_COUNT
+            else:
+                node.ntype = LEAF
+                node.bricks = tree.dilute_brick(brick)
+        elif node.ntype in (INTERNAL, NOTHING):
+            if node.children is not None:
+                new_bricks = [
+                    tree.try_brick_from_node(node.child(s))
+                    for s in range(BOX_NODE_CHILDREN_COUNT)
+                ]
+                tree.deallocate_children_of(key)
+            else:
+                new_bricks = [None] * BOX_NODE_CHILDREN_COUNT
+            node.ntype = LEAF
+            node.children = None
+            node.bricks = new_bricks
+        brick = node.bricks[sectant]
+        if brick is None:
+            brick = tree._new_brick()
+        elif isinstance(brick, (int, np.integer)):
+            brick = tree._new_brick(fill=int(brick))
+        brick[flat_in_brick[g]] = packed[g]
+        node.bricks[sectant] = brick
+        node.occupied |= 1 << sectant
+        written += len(g)
+        touched.append((stack, key, cur_min.astype(np.int64), int(cur_size),
+                        sectant, cells[g[0]] * d))
+
+    if not touched:
+        return written
+
+    # ---- post-process with FRESH access stacks: group processing can free
+    # and reuse node keys (leaf absorption deallocates children), so paths
+    # recorded during the write loop may be stale
+    from voxelhex_tpu.spatial.math import offset_sectant as _osect
+    from voxelhex_tpu.tree import mipmap as _mip  # noqa: F401 (strategy gate)
+
+    fresh = []
+    for _stack, _key, _bmin, _bs, _sect, cell_min in touched:
+        astack = tree.access_stack(cell_min.astype(np.float64))
+        if astack:
+            fresh.append((astack, cell_min))
+
+    # ancestors: occupied bits along each path
+    for astack, cell_min in fresh:
+        posf = cell_min.astype(np.float64)
+        for k, bmin, bsize in astack:
+            tree.node(k).occupied |= 1 << _osect(posf - bmin, bsize)
+
+    # occlusion for fully-occupied bottom nodes
+    seen = set()
+    for astack, _cm in fresh:
+        k, bmin, bsize = astack[-1]
+        if k not in seen:
+            seen.add(k)
+            if tree.node(k).occupied == U64_MAX:
+                tree._set_sibling_occlusions(bmin, float(bsize), True)
+
+    # MIP texels: deepest nodes first (children mips feed parents); one
+    # update_mip per touched (node, texel) instead of per voxel
+    if tree.mip_strategy is not None and tree.mip_strategy.enabled:
+        from voxelhex_tpu.tree.mipmap import recalculate_mip
+
+        by_depth: dict = {}
+        bottoms = {astack[-1][0] for astack, _cm in fresh}
+        for astack, cell_min in fresh:
+            for depth, (k, bmin, bsize) in enumerate(astack):
+                by_depth.setdefault((depth, k), []).append((bmin, bsize, cell_min))
+        done_bottom = set()
+        for (_depth, k), entries in sorted(by_depth.items(),
+                                           key=lambda kv: -kv[0][0]):
+            if k in bottoms:
+                # the write loop may have structurally converted this node
+                # (uniform dilution / child absorption): partial texel
+                # updates would leave a half-empty mip — resample it fully
+                if k not in done_bottom:
+                    done_bottom.add(k)
+                    bmin, bsize, _cm = entries[0]
+                    recalculate_mip(tree, k, bmin, bsize)
+                continue
+            done = set()
+            for bmin, bsize, cell_min in entries:
+                texel_size = max(int(bsize) // d, 1)
+                tex = tuple(
+                    int(v)
+                    for v in (cell_min - bmin.astype(np.int64)) // texel_size
+                )
+                if tex in done:
+                    continue
+                done.add(tex)
+                tree.update_mip(k, bmin, bsize, cell_min)
+
+    # trigger payloads computed before simplify can free/swap nodes
+    payloads = []
+    if tree.update_triggers:
+        for astack, cell_min in fresh:
+            posf = cell_min.astype(np.float64)
+            ks = [(k, _osect(posf - bmin, bsize)) for k, bmin, bsize in astack]
+            payloads.append((ks, [ks[-1][1]]))
+
+    # simplify bottom-up (deferred, like the reference import loop)
+    if tree.auto_simplify:
+        done = set()
+        for astack, _cm in fresh:
+            for k, _b, _s in reversed(astack):
+                if k not in done:
+                    done.add(k)
+                    tree.simplify(k, False)
+
+    for trigger in tree.update_triggers:
+        for ks, sectants in payloads:
+            trigger(ks, sectants)
+    return written
