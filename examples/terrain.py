@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--res", default="1920x1080")
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--async-uploads", action="store_true",
+                    help="rasterize regions on a worker thread (smoother frames)")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +86,9 @@ def main():
 
     w, h = (int(v) for v in args.res.split("x"))
     tree = build_terrain(args.world)
-    view = StreamingView(tree, view_size=args.view, regions_per_update=8192)
+    view = StreamingView(tree, view_size=args.view,
+                         regions_per_update=512 if args.async_uploads else 8192,
+                         async_uploads=args.async_uploads)
 
     for i in range(args.frames):
         # fly across the terrain

@@ -176,3 +176,54 @@ def test_insert_many_streams_through_view():
     assert len(view._dirty) > 0
     img = np.asarray(view.render(cam))
     assert img[:, :, 2].max() > 0.2
+
+
+def test_async_uploads_converge_to_sync_result():
+    """Async worker-thread rasterization reaches the same resident content
+    as the sync path, with edits and a window move in between."""
+    import time
+
+    tree = make_tree()
+    a = StreamingView(tree, view_size=64, regions_per_update=16,
+                      async_uploads=True)
+    target = np.array([11.0, 11.0, 11.0])
+    for _ in range(400):
+        if a.update(target) == 0 and not a._inflight:
+            break
+        time.sleep(0.002)
+    assert len(a._dirty) == 0
+
+    # edit mid-flight: a fresh batch of dirty regions + stale-job dropping
+    tree.insert((11, 11, 11), GREEN)
+    assert len(a._dirty) > 0
+    for _ in range(400):
+        if a.update(target) == 0 and not a._inflight:
+            break
+        time.sleep(0.002)
+
+    b = StreamingView(tree, view_size=64, regions_per_update=100000)
+    b.update(target)
+    np.testing.assert_array_equal(a._occ, b._occ)
+    np.testing.assert_array_equal(a._col, b._col)
+    a.close()
+
+
+def test_async_uploads_survive_window_move():
+    import time
+
+    tree = make_tree()
+    a = StreamingView(tree, view_size=64, regions_per_update=8,
+                      async_uploads=True)
+    a.update(np.array([11.0, 11.0, 11.0]))  # jobs in flight for window @0
+    # jump: in-flight jobs for the old origin must be dropped
+    tgt = np.array([201.0, 201.0, 201.0])
+    for _ in range(600):
+        if a.update(tgt) == 0 and not a._inflight:
+            break
+        time.sleep(0.002)
+    assert len(a._dirty) == 0
+    b = StreamingView(tree, view_size=64, regions_per_update=100000)
+    b.update(tgt)
+    np.testing.assert_array_equal(a._occ, b._occ)
+    np.testing.assert_array_equal(a._col, b._col)
+    a.close()

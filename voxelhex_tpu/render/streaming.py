@@ -49,6 +49,7 @@ class StreamingView:
         regions_per_update: int = 64,
         prepass: bool = False,
         placeholder_lod: bool = True,
+        async_uploads: bool = False,
     ):
         assert view_size % REGION == 0
         self.tree = tree
@@ -57,6 +58,19 @@ class StreamingView:
         self.placeholder_lod = bool(placeholder_lod)
         self._placeholder: set = set()  # regions holding coarse LOD content
         self.origin = np.zeros(3, dtype=np.int64)  # view window min corner
+
+        # async region rasterization: a worker thread fills staging buffers
+        # from an immutable flat snapshot while the main thread renders (the
+        # reference's AsyncComputeTaskPool upload-queue rebuild,
+        # bevy/mod.rs:120-139); device writes stay on the main thread.
+        self._async = bool(async_uploads)
+        self._gen = 0  # bumped on every tree edit: stale jobs are dropped
+        self._inflight: dict = {}  # region -> Future
+        self._pool = None
+        if self._async:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=2)
 
         # resident CPU mirrors of the dense grids
         S = self.view_size
@@ -88,6 +102,7 @@ class StreamingView:
         region(s) dirty (the reference re-uploads the access path,
         streaming/mod.rs:35-286)."""
         self._flat = None  # host tree changed: stale snapshot
+        self._gen += 1  # in-flight async jobs against the old snapshot drop
         # access_stack: [(node_key, sectant), ...] from the root; re-derive
         # the deepest node's bounds
         size = float(self.tree.size)
@@ -139,16 +154,20 @@ class StreamingView:
                 self._fill_placeholders(fresh)
                 filled = fresh
 
-        budget = self.regions_per_update
-        uploaded = []
-        while self._dirty and budget > 0:
-            region = self._dirty.pop()
-            self._rasterize_region(region)
-            self._resident.add(region)
-            self._placeholder.discard(region)
-            budget -= 1
-            self.uploads += 1
-            uploaded.append(region)
+        if self._async:
+            uploaded = self._drain_async()
+            self._submit_async()
+        else:
+            budget = self.regions_per_update
+            uploaded = []
+            while self._dirty and budget > 0:
+                region = self._dirty.pop()
+                self._rasterize_region(region)
+                self._resident.add(region)
+                self._placeholder.discard(region)
+                budget -= 1
+                self.uploads += 1
+                uploaded.append(region)
 
         touched = list({*uploaded, *filled})
         if self.renderer is None or len(touched) > (self._region_range() ** 3) // 2:
@@ -200,6 +219,84 @@ class StreamingView:
             for z in range(n)
             if (x, y, z) not in self._resident
         }
+
+    # ------------------------------------------------------------------
+    # async uploads (worker rasterizes from an immutable snapshot; mirrors
+    # and device writes stay on the main thread)
+
+    @staticmethod
+    def _rasterize_data(flat, wmin):
+        """Worker-side region fill from a flat snapshot; (None, None) when
+        the native rasterizer is unavailable (caller falls back to sync)."""
+        from voxelhex_tpu import native
+
+        x0, y0, z0 = wmin
+        shape = (REGION, REGION, REGION)
+        if x0 >= flat.size or y0 >= flat.size or z0 >= flat.size:
+            return (np.zeros(shape, dtype=bool),
+                    np.full(shape, COLOR_EMPTY, dtype=np.uint16))
+        out = native.rasterize_window(flat, int(x0), int(y0), int(z0), REGION)
+        if out is None:
+            return (None, None)
+        occ_f, col_f = out
+        occ = occ_f.reshape(shape).transpose(2, 1, 0) != 0
+        col = col_f.reshape(shape).transpose(2, 1, 0)
+        return occ, col
+
+    def _submit_async(self):
+        if not self._dirty:
+            return
+        flat = self._flat_snapshot()
+        gen, origin = self._gen, tuple(int(v) for v in self.origin)
+        budget = self.regions_per_update - len(self._inflight)
+        for region in sorted(self._dirty):
+            if budget <= 0:
+                break
+            if region in self._inflight:
+                continue
+            wmin = tuple(int(c) * REGION + o for c, o in zip(region, origin))
+            fut = self._pool.submit(self._rasterize_data, flat, wmin)
+            self._inflight[region] = (fut, gen, origin)
+            budget -= 1
+
+    def _drain_async(self):
+        done = []
+        n = self._region_range()
+        cur_origin = tuple(int(v) for v in self.origin)
+        for key, (fut, gen, origin) in list(self._inflight.items()):
+            if not fut.done():
+                continue
+            del self._inflight[key]
+            if gen != self._gen:
+                continue  # superseded by an edit
+            # jobs carry WORLD data: remap window coords across moves
+            region = tuple(
+                k + (o - co) // REGION
+                for k, o, co in zip(key, origin, cur_origin)
+            )
+            if not all(0 <= c < n for c in region) or region not in self._dirty:
+                continue
+            occ, col = fut.result()
+            if occ is None:
+                self._rasterize_region(region)  # no native lib: sync path
+            else:
+                sl = np.s_[
+                    region[0] * REGION : region[0] * REGION + REGION,
+                    region[1] * REGION : region[1] * REGION + REGION,
+                    region[2] * REGION : region[2] * REGION + REGION,
+                ]
+                self._occ[sl] = occ
+                self._col[sl] = col
+            self._dirty.discard(region)
+            self._resident.add(region)
+            self._placeholder.discard(region)
+            self.uploads += 1
+            done.append(region)
+        return done
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
 
     def _shift_device(self, shift):
         """Window moved by ``shift`` (region-aligned world voxels): translate
