@@ -178,3 +178,32 @@ def test_albedo_gradient_matches_finite_differences(small_scene, rays):
             fd,
             g[b, c, ch],
         )
+
+
+def test_pipelined_train_step_matches_plain(small_scene, rays):
+    """Per-microbatch psum (collective/compute overlap) must be numerically
+    equivalent to the single-all-reduce step (psum is linear)."""
+    from voxelhex_tpu.parallel.render import sharded_train_step_pipelined
+
+    origins, dirs = rays
+    diff = DiffRenderer(small_scene)
+    params = diff.init_params()
+    target = np.asarray(
+        jax.jit(diff.render)(params, jnp.asarray(origins), jnp.asarray(dirs))
+    )
+    init = jnp.full_like(params, 0.5)
+    opt = optax.sgd(0.1)
+    mesh = make_ray_mesh()
+    # ray count divisible by devices * microbatches
+    K = 4
+    n_keep = (origins.shape[0] // (8 * K)) * 8 * K
+    o, d, t = origins[:n_keep], dirs[:n_keep], target[:n_keep]
+    (o_sh, d_sh, t_sh), _ = shard_rays(mesh, o, d, t)
+
+    plain = sharded_train_step(diff, mesh, opt)
+    p1, _s1, l1 = plain(init, opt.init(init), o_sh, d_sh, t_sh)
+    piped = sharded_train_step_pipelined(diff, mesh, opt, microbatches=K)
+    p2, _s2, l2 = piped(init, opt.init(init), o_sh, d_sh, t_sh)
+
+    assert float(l2) == pytest.approx(float(l1), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-5)

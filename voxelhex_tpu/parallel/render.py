@@ -83,6 +83,64 @@ def sharded_train_step(
     return jax.jit(sharded)
 
 
+def sharded_train_step_pipelined(
+    diff: DiffRenderer,
+    mesh: Mesh,
+    optimizer,
+    axis_name: str = "rays",
+    microbatches: int = 4,
+):
+    """Train step with the gradient all-reduce PIPELINED against the
+    backward march: rays split into ``microbatches``; each microbatch's
+    gradients are ``psum``-reduced immediately, and since that collective
+    has no data dependency on the next microbatch's compute, XLA's
+    latency-hiding scheduler overlaps it with the next backward pass.  The
+    plain step (:func:`sharded_train_step`) leaves one big all-reduce as a
+    serial tail after ALL compute instead.
+
+    Numerically identical to the plain step (psum is linear): gradients sum
+    over microbatches and divide by ``microbatches * n_devices``.
+    """
+    n_dev = mesh.devices.size
+
+    def local_loss(params, origins, dirs, targets):
+        rgb = diff.render(params, origins, dirs)
+        return jnp.mean((rgb - targets) ** 2)
+
+    def shard_step(params, opt_state, origins, dirs, targets):
+        K = microbatches
+        o = origins.reshape(K, -1, origins.shape[-1])
+        d = dirs.reshape(K, -1, dirs.shape[-1])
+        t = targets.reshape(K, -1, targets.shape[-1])
+
+        def mb(gsum, xs):
+            ok, dk, tk = xs
+            loss_k, g = jax.value_and_grad(local_loss)(params, ok, dk, tk)
+            # per-microbatch all-reduce: independent of the next microbatch,
+            # so it can ride ICI while the next backward march runs
+            g = jax.lax.psum(g, axis_name)
+            loss_k = jax.lax.psum(loss_k, axis_name)
+            return jax.tree.map(jnp.add, gsum, g), loss_k
+
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        gsum, losses = jax.lax.scan(mb, g0, (o, d, t))
+        grads = jax.tree.map(lambda g: g / (K * n_dev), gsum)
+        loss = jnp.mean(losses) / n_dev
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = jnp.clip(params, 0.0, 1.0)
+        return params, opt_state, loss
+
+    sharded = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def shard_rays(mesh: Mesh, *arrays, axis_name: str = "rays"):
     """Pad ray arrays to a multiple of the mesh size and device_put them with
     the sharded layout.  Returns (padded_arrays, original_count)."""
