@@ -101,6 +101,27 @@ def test_compacted_trace_matches_plain():
     np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=1e-6)
 
 
+def test_parent_skip_bit_exact():
+    """parent_skip (empty lateral targets ascend immediately via the fetched
+    parent words) must not change any hit, voxel, point, or normal."""
+    tree = make_scene(64, 4)
+    r_on = BitGridRenderer(tree, parent_skip=True)
+    r_off = BitGridRenderer(tree, parent_skip=False)
+    rng = np.random.default_rng(17)
+    n = 4000
+    targets = rng.random((n, 3)) * 64
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (targets - dirs * 200).astype(np.float32)
+    dirs = dirs.astype(np.float32)
+    h1, v1, hv1, p1, n1 = r_on.trace(origins, dirs)
+    h2, v2, hv2, p2, n2 = r_off.trace(origins, dirs)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(hv1), np.asarray(hv2))
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=1e-6)
+
+
 def test_render_paths_agree():
     tree = make_scene(64, 4)
     cam = orbit_camera(64.0, resolution=(64, 48))

@@ -72,8 +72,7 @@ def make_multihit_tracer(bg: BitGrid, max_hits: int = 4, max_iters: int = 2048):
             hit_new = jnp.zeros_like(hit)
             state = (state[0], state[1], state[2], state[3], state[4],
                      occ_lo, occ_hi, state[7], state[8], state[9],
-                     active, hit_new, state[12], state[13], state[14],
-                     state[15], state[16], state[17])
+                     active, hit_new) + tuple(state[12:])
             return state, voxels, dists
 
         for k in range(K):
@@ -124,8 +123,7 @@ class SoftRenderer:
             occ_hi = jnp.where(hit, state[6] & ~bit_hi, state[6])
             return (state[0], state[1], state[2], state[3], state[4],
                     occ_lo, occ_hi, state[7], state[8], state[9],
-                    hit, jnp.zeros_like(hit), state[12], state[13],
-                    state[14], state[15], state[16], state[17])
+                    hit, jnp.zeros_like(hit)) + tuple(state[12:])
 
         self._seg_scatter = _seg_scatter
         self._continue_state = _continue_state

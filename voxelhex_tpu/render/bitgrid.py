@@ -284,12 +284,60 @@ def build_bitgrid(source) -> BitGrid:
     )
 
 
+def parent_index(bg: BitGrid) -> np.ndarray:
+    """int32 [B]: for every pyramid block, the flat index of its PARENT
+    block (the level-(l+1) block whose cell it is); -1 for top-level blocks.
+
+    Row gathers cost the same at width 2 and width 4 on TPU (measured flat
+    2..32, benches/gather_width.py), so each block's row carries its parent's
+    occupancy words for free — letting the tracer test a lateral-step target
+    block for emptiness WITHOUT the extra move-in iteration."""
+    n_levels = bg.n_levels
+    dims = []
+    c = int(bg.size)
+    for _ in range(n_levels):
+        dims.append(max((c + 3) // 4, 1))
+        c = dims[-1]
+    bases = [int(b) for b in bg.level_bases]
+    total = len(bg.occ_lo)
+    pidx = np.full(total, -1, dtype=np.int32)
+    for l in range(n_levels - 1):
+        n = dims[l]
+        np_ = dims[l + 1]
+        bc = np.arange(n)
+        bx, by, bz = np.meshgrid(bc, bc, bc, indexing="ij")  # ij: bx,by,bz
+        # flat block index is x-fastest: bx + by*n + bz*n^2
+        flat = (bx + by * n + bz * n * n).ravel()
+        par = (bx // 4 + (by // 4) * np_ + (bz // 4) * np_ * np_).ravel()
+        pidx[bases[l] + flat] = bases[l + 1] + par
+    return pidx
+
+
+def quads_from_pairs(pairs, pidx):
+    """[B,2] u32 pairs + int32 [B] parent index -> [B,4] quad rows
+    (lo, hi, parent_lo, parent_hi); top-level rows get all-ones parent words
+    (never skipped).  Works for numpy and jnp inputs; jit-friendly."""
+    pw = pairs[jnp.maximum(pidx, 0)]
+    pw = jnp.where((pidx < 0)[:, None], jnp.uint32(0xFFFFFFFF), pw)
+    return jnp.concatenate([pairs, pw], axis=1)
+
+
+_quads_from_pairs_jit = jax.jit(quads_from_pairs)
+
+
 def device_bitgrid(bg: BitGrid) -> dict:
     # occupancy words interleaved as [B, 2] rows: ONE row gather per fetch —
-    # measured 4.5x cheaper than two separate gathers on TPU (see PERF.md)
+    # measured 4.5x cheaper than two separate gathers on TPU (see PERF.md).
+    # The tracer fetches [B, 4] quad rows (pair + parent pair — width is
+    # free); the pair array stays canonical for streaming delta updates.
     occ_pairs = np.stack([bg.occ_lo, bg.occ_hi], axis=1)
+    pidx = parent_index(bg)
+    pw = occ_pairs[np.maximum(pidx, 0)]
+    pw[pidx < 0] = 0xFFFFFFFF
+    occ_quads = np.concatenate([occ_pairs, pw], axis=1)
     out = {
         "occ_pairs": jnp.asarray(occ_pairs, dtype=U32),
+        "occ_quads": jnp.asarray(occ_quads, dtype=U32),
         "colors": jnp.asarray(bg.colors, dtype=jnp.uint16),
         "palette": jnp.asarray(bg.palette, dtype=F32),
         "size": jnp.asarray(float(bg.size), dtype=F32),
@@ -301,14 +349,23 @@ def device_bitgrid(bg: BitGrid) -> dict:
 
 
 def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4,
-                        lod_scale: float = 0.0, lateral_step: bool = True):
+                        lod_scale: float = 0.0, lateral_step: bool = True,
+                        parent_skip: bool = False):
     """``trace(tree, origins, dirs, start_t=None)`` over the dense pyramid.
 
     ``lateral_step``: on block exit, move DIRECTLY to the same-level
     neighbor block (computed address — the dense pyramid needs no pointer
     tree) instead of the reference's POP+re-PUSH pair; empty neighbors
     still ascend via the reachability mask on the next iteration.  Saves
-    one fetch-iteration per lateral block crossing; bit-exact results."""
+    one fetch-iteration per lateral block crossing; bit-exact results.
+
+    ``parent_skip`` (experimental, measured ~neutral — see PERF.md): each
+    fetched row also carries the PARENT block's occupancy words (same gather
+    cost — row width 2..32 is flat on TPU).  A lateral step whose target
+    sibling block is empty per the parent word ascends immediately instead
+    of moving into the empty block.  Bit-exact results, but empty laterals
+    were never expensive (the substep advance crosses them), so it saves
+    almost no iterations; off by default."""
     S = float(bg.size)
     Si = int(bg.size)
     n_levels = bg.n_levels
@@ -330,6 +387,10 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
             bc = jnp.floor(bmin / bs).astype(I32)
             a = bases[l] + bc[:, 0] + bc[:, 1] * dims[l] + bc[:, 2] * dims[l] * dims[l]
             addr = jnp.where(level == l, a, addr)
+        if parent_skip:
+            addr = jnp.clip(addr, 0, tree["occ_quads"].shape[0] - 1)
+            quad = tree["occ_quads"][addr]  # single row gather (width is free)
+            return quad[:, 0], quad[:, 1], quad[:, 2], quad[:, 3]
         addr = jnp.clip(addr, 0, tree["occ_pairs"].shape[0] - 1)
         pair = tree["occ_pairs"][addr]  # single row gather
         return pair[:, 0], pair[:, 1]
@@ -367,7 +428,8 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         point = o + dirv * enter[:, None]
 
         level = jnp.full(R, top_level, dtype=I32)
-        occ_lo0, occ_hi0 = fetch_words(tree, level, jnp.zeros((R, 3), dtype=F32))
+        fetched = fetch_words(tree, level, jnp.zeros((R, 3), dtype=F32))
+        occ_lo0, occ_hi0 = fetched[0], fetched[1]
         tsize0 = jnp.full(R, cell_sizes[top_level], dtype=F32)
         tsect0 = jnp.where(
             root_hit, _offset_sectant_v(point, jnp.full(R, top_block)), OOB
@@ -383,12 +445,13 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
                 jnp.zeros(R, dtype=I32),  # restarts
                 jnp.zeros((R, 3), dtype=F32),  # bmin
                 o,  # ray origins (for LOD distance)
-                jnp.zeros(R, dtype=I32))  # hlev: level at hit
+                jnp.zeros(R, dtype=I32),  # hlev: level at hit
+                ) + (fetched[2:] if parent_skip else ())  # parent words
 
     def body(tree, st):
         (point, tsect, tmin, tsize, level, occ_lo, occ_hi,
          dirv, sf, octant, active, hit, hvox, hnormal, restarts, bmin,
-         origin, hlev) = st
+         origin, hlev, *pwords) = st
         R = point.shape[0]
         size = tree["size"]
 
@@ -445,6 +508,16 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         a_ts = _step_sectant_v(a_ts0, a_step)
         a_tmin = bmin + a_step * block[:, None]
         a_tsize = block
+
+        if parent_skip:
+            # a_ts is the lateral target block's sectant within the CURRENT
+            # parent (OOB when it leaves it); if its parent-word bit is 0
+            # the neighbor is empty — ascend now instead of moving into it
+            # and discovering the emptiness next iteration.
+            nb_empty = _occ_bit_v(pwords[0], pwords[1], a_ts) == 0
+            skip = lateral & (a_ts < OOB) & nb_empty
+            lateral = lateral & (~skip)
+            ascend = ascend | skip
 
         # --- ADVANCE: arithmetic substeps within the current block
         v_ts = tsect
@@ -517,13 +590,16 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
 
         # ONE fetch for rays whose block changed
         moved = descend | ascend | lateral | can_restart
-        new_lo, new_hi = fetch_words(tree, jnp.clip(level, 0, top_level), bmin)
-        occ_lo = jnp.where(moved, new_lo, occ_lo)
-        occ_hi = jnp.where(moved, new_hi, occ_hi)
+        fetched = fetch_words(tree, jnp.clip(level, 0, top_level), bmin)
+        occ_lo = jnp.where(moved, fetched[0], occ_lo)
+        occ_hi = jnp.where(moved, fetched[1], occ_hi)
+        if parent_skip:
+            pwords = (jnp.where(moved, fetched[2], pwords[0]),
+                      jnp.where(moved, fetched[3], pwords[1]))
 
         return (point, tsect, tmin, tsize, level, occ_lo, occ_hi,
                 dirv, sf, octant, active, hit, hvox, hnormal, restarts, bmin,
-                origin, hlev)
+                origin, hlev) + tuple(pwords)
 
     ACTIVE = 10
 
@@ -601,6 +677,7 @@ class BitGridRenderer:
         prepass: bool = False,
         prepass_levels: int = 2,
         lateral_step: bool = True,
+        parent_skip: bool = False,
     ):
         self.prepass_levels = prepass_levels
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
@@ -609,7 +686,8 @@ class BitGridRenderer:
         self.prepass = prepass
         self._max_iters = max_iters
         self._trace = make_bitgrid_tracer(bg, max_iters=max_iters,
-                                          lateral_step=lateral_step)
+                                          lateral_step=lateral_step,
+                                          parent_skip=parent_skip)
         self._trace_jit = jax.jit(self._trace)
 
         def _scatter(state, orig, hit, hvox, hnormal, hpoint):

@@ -359,6 +359,7 @@ class StreamingView:
         ).astype(np.uint32)
         pairs = pairs.at[base1:].set(jnp.asarray(coarse_pairs))
         tree_dev["occ_pairs"] = pairs
+        self._refresh_quads(tree_dev)
 
     def _flat_snapshot(self):
         """Cached flat snapshot of the host tree for fast window walks."""
@@ -544,9 +545,23 @@ class StreamingView:
         ).astype(np.uint32)
         occ_pairs = occ_pairs.at[base1:].set(jnp.asarray(coarse_pairs))
         tree_dev["occ_pairs"] = occ_pairs
+        self._refresh_quads(tree_dev)
         tree_dev["colors"] = tree_dev["colors"].at[jnp.asarray(col_idx)].set(
             jnp.asarray(col_val)
         )
+
+    def _refresh_quads(self, tree_dev):
+        """Re-derive the tracer's quad rows (pair + parent pair) on device
+        after any occ_pairs mutation — one [B,2] gather, no host round-trip."""
+        import jax.numpy as jnp
+
+        from voxelhex_tpu.render.bitgrid import _quads_from_pairs_jit, parent_index
+
+        pairs = tree_dev["occ_pairs"]
+        pidx = getattr(self, "_pidx_dev", None)
+        if pidx is None or pidx.shape[0] != pairs.shape[0]:
+            self._pidx_dev = pidx = jnp.asarray(parent_index(self.renderer.bitgrid))
+        tree_dev["occ_quads"] = _quads_from_pairs_jit(pairs, pidx)
 
     def _rebuild_device(self):
         """Repack the pyramid and refresh the device arrays."""

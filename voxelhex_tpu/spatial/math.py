@@ -177,6 +177,40 @@ def brick_occupied_bits(occupied_mask: np.ndarray) -> int:
     return bits
 
 
+def brick_occupied_bits_many(occupied_mask: np.ndarray) -> np.ndarray:
+    """Batched ``brick_occupied_bits``: (B, d^3) boolean masks -> (B,) uint64
+    occupancy words, with no per-brick Python loop."""
+    mask = np.asarray(occupied_mask, dtype=bool)
+    b, v = mask.shape
+    d = round(v ** (1.0 / 3.0))
+    assert d * d * d == v, "brick mask must be a cube"
+    if b == 0:
+        return np.zeros(0, dtype=np.uint64)
+    grid = mask.reshape(b, d, d, d)  # flat_projection order: [b, z, y, x]
+    if d == 1:
+        return np.where(grid.reshape(b), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+    if d >= BOX_NODE_DIMENSION:
+        f = d // BOX_NODE_DIMENSION
+        coarse = grid.reshape(
+            b, BOX_NODE_DIMENSION, f, BOX_NODE_DIMENSION, f, BOX_NODE_DIMENSION, f
+        ).any(axis=(2, 4, 6))
+    else:  # d == 2: each voxel covers 2x2x2 bits
+        r = BOX_NODE_DIMENSION // d
+        coarse = np.repeat(np.repeat(np.repeat(grid, r, 1), r, 2), r, 3)
+    # bit index = x + 4y + 16z; coarse axes are [b, z, y, x]
+    weights = (
+        np.uint64(1)
+        << (
+            np.arange(4, dtype=np.uint64)[:, None, None] * np.uint64(16)
+            + np.arange(4, dtype=np.uint64)[None, :, None] * np.uint64(4)
+            + np.arange(4, dtype=np.uint64)[None, None, :]
+        )
+    ).reshape(64)
+    return (coarse.reshape(b, 64).astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ray math
 # ---------------------------------------------------------------------------

@@ -125,8 +125,11 @@ def from_voxels(
     bricks = np.full((len(uniq_cells), d**3), EMPTY_VOXEL, dtype=np.uint32)
     bricks[inverse, flat_in_brick] = packed
 
-    empty_mask = tree._brick_empty_mask(bricks.reshape(-1)).reshape(bricks.shape)
-    occ_bits = _brick_occupancy_bits(bricks, empty_mask)
+    # every interned value is non-empty by construction (zero-alpha colors
+    # map to EMPTY_VOXEL in intern_colors and were filtered above), so the
+    # palette-alpha walk of _brick_empty_mask is unnecessary here
+    empty_mask = bricks == EMPTY_VOXEL
+    occ_nonzero = ~empty_mask.all(axis=1)
 
     # brick cell coordinates
     bx = uniq_cells % cpa
@@ -149,7 +152,6 @@ def from_voxels(
     lpa = max(cpa // 4, 1)  # leaf nodes per axis
     leaf_ids = leaf_grid[:, 0] + leaf_grid[:, 1] * lpa + leaf_grid[:, 2] * lpa * lpa
     uniq_leaves, leaf_inv = np.unique(leaf_ids, return_inverse=True)
-    occ_nonzero = np.array([int(b) != 0 for b in occ_bits])
     sect_bits = np.where(
         occ_nonzero, np.uint64(1) << sectants.astype(np.uint64), np.uint64(0)
     )

@@ -164,7 +164,7 @@ def flatten(tree: BoxTree) -> FlatTree:
                 return EMPTY_DESC
             return SOLID_FLAG | sv
         idx = len(brick_list)
-        brick_list.append(_voxelize_packed(tree, brick))
+        brick_list.append(brick)  # raw packed values; voxelized in one batch
         return idx
 
     for host_key in order:
@@ -190,17 +190,23 @@ def flatten(tree: BoxTree) -> FlatTree:
         # NOTHING: all defaults
 
     if brick_list:
-        bricks = np.stack(brick_list).astype(np.int32)
+        # ONE batched voxelize for the whole pool (per-brick calls rebuild
+        # palette lookup tables and dominate flatten time at ~100k bricks)
+        raw = np.stack(brick_list).astype(np.uint32)
+        bricks = _voxelize_packed(tree, raw).astype(np.int32)
     else:
         bricks = np.zeros((0, d**3), dtype=np.int32)
 
-    from voxelhex_tpu.spatial.math import brick_occupied_bits
+    from voxelhex_tpu.spatial.math import brick_occupied_bits_many
 
-    brick_ocbits = np.zeros((bricks.shape[0], 2), dtype=np.uint32)
-    for i in range(bricks.shape[0]):
-        bits = brick_occupied_bits(bricks[i] != EMPTY_DESC)
-        brick_ocbits[i, 0] = bits & 0xFFFFFFFF
-        brick_ocbits[i, 1] = (bits >> 32) & 0xFFFFFFFF
+    bits = brick_occupied_bits_many(bricks != EMPTY_DESC)
+    brick_ocbits = np.stack(
+        [
+            (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (bits >> np.uint64(32)).astype(np.uint32),
+        ],
+        axis=1,
+    )
 
     n_colors = max(1, len(tree.color_palette))
     palette = np.zeros((n_colors, 4), dtype=np.float32)
