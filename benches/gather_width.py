@@ -44,8 +44,14 @@ def main():
     R, T = args.rays, args.rows
     rng = np.random.default_rng(0)
     idx0 = jnp.asarray(rng.integers(0, T, R), dtype=jnp.int32)
+    # locality variants: does index coherence change gather cost?
+    idx_sorted = jnp.asarray(np.sort(rng.integers(0, T, R)), dtype=jnp.int32)
+    # clustered: runs of 256 lanes share one random row neighborhood
+    base_c = np.repeat(rng.integers(0, T - 256, R // 256), 256)
+    idx_clustered = jnp.asarray(base_c + np.tile(np.arange(256) // 32, R // 256),
+                                dtype=jnp.int32)
 
-    def make_loop(width, select8=False):
+    def make_loop(width, select8=False, stride=False):
         table = jnp.asarray(
             rng.integers(0, 2**32, (T, width), dtype=np.uint64).astype(np.uint32)
         )
@@ -65,7 +71,11 @@ def main():
             else:
                 mix = row[:, 0] ^ row[:, -1]
             acc = acc ^ mix
-            idx = (idx + mix.astype(jnp.int32)) % T
+            if stride:
+                # +1 step preserves the input index pattern's coherence
+                idx = (idx + 1) % T
+            else:
+                idx = (idx + mix.astype(jnp.int32)) % T
             return idx, acc, i + 1
 
         def cond(carry):
@@ -80,21 +90,30 @@ def main():
         return run
 
     results = {}
-    configs = [(1, False), (2, False), (4, False), (8, False), (16, False),
-               (16, True), (32, False)]
-    for width, sel in configs:
-        run = make_loop(width, sel)
-        out = run(idx0)
+    configs = [
+        ("w1", 1, False, False, idx0),
+        ("w2", 2, False, False, idx0),
+        ("w4", 4, False, False, idx0),
+        ("w8", 8, False, False, idx0),
+        ("w16", 16, False, False, idx0),
+        ("w16+sel8", 16, True, False, idx0),
+        ("w32", 32, False, False, idx0),
+        ("w2-random", 2, False, True, idx0),
+        ("w2-sorted", 2, False, True, idx_sorted),
+        ("w2-cluster", 2, False, True, idx_clustered),
+    ]
+    for name, width, sel, stride, idx in configs:
+        run = make_loop(width, sel, stride)
+        out = run(idx)
         out.block_until_ready()  # compile + warm
         best = 1e9
         for _ in range(args.reps):
             t0 = time.time()
-            run(idx0).block_until_ready()
+            run(idx).block_until_ready()
             best = min(best, time.time() - t0)
         ns = best * 1e9 / (R * args.iters)
-        name = f"w{width}" + ("+sel8" if sel else "")
         results[name] = ns
-        print(f"row width {name:9s}: {best*1e3:8.1f} ms  ({ns:6.2f} ns/ray/iter)",
+        print(f"{name:11s}: {best*1e3:8.1f} ms  ({ns:6.2f} ns/ray/iter)",
               flush=True)
 
     print({k: round(v, 2) for k, v in results.items()})

@@ -16,8 +16,10 @@
 // Built as a plain shared library with extern "C" entry points; Python binds
 // via ctypes (voxelhex_tpu/native.py) and falls back to NumPy when absent.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -266,6 +268,101 @@ void copy_region(const uint8_t* src_occ, const uint16_t* src_col, int32_t S,
                     dst_col[di] = src_col[si];
                 }
             }
+}
+
+// ---------------------------------------------------------------------------
+// Bulk voxel->brick grouping (the from_voxels hot loop).
+//
+// Two-call protocol so the caller can size the output arrays:
+//  1. bulk_group_sort: computes per-voxel sort keys (cell_id * d^3 +
+//     flat-in-brick == the voxel's linear id grouped brick-major), sorts, and
+//     returns the number of distinct bricks M.
+//  2. bulk_group_fill: single pass over the sorted order filling the brick
+//     pool (last duplicate wins, like np.unique on reversed input), per-brick
+//     4x4x4-downsampled 64-bit occupancy, and solid flags (all d^3 voxels
+//     present and equal).
+// ---------------------------------------------------------------------------
+
+void bulk_group_sort(const int64_t* pos /*[n,3]*/, int64_t n, int32_t size,
+                     int32_t d, int64_t* keys /*[n] out*/,
+                     int64_t* order /*[n] out*/, int64_t* m_out /*[1] out*/) {
+    const int64_t cpa = size / d;
+    const int64_t d3 = (int64_t)d * d * d;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t x = pos[i * 3], y = pos[i * 3 + 1], z = pos[i * 3 + 2];
+        int64_t cell = (x / d) + (y / d) * cpa + (z / d) * cpa * cpa;
+        int64_t flat = (x % d) + (y % d) * d + (z % d) * d * d;
+        keys[i] = cell * d3 + flat;
+    }
+    std::vector<std::pair<int64_t, int64_t>> kv(n);
+    for (int64_t i = 0; i < n; ++i) kv[i] = {keys[i], i};
+    std::sort(kv.begin(), kv.end());  // (key, original index): stable by pair
+    int64_t m = 0;
+    int64_t prev_cell = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        order[i] = kv[i].second;
+        keys[i] = kv[i].first;  // keys returned in sorted order
+        int64_t cell = kv[i].first / d3;
+        if (cell != prev_cell) {
+            ++m;
+            prev_cell = cell;
+        }
+    }
+    m_out[0] = m;
+}
+
+void bulk_group_fill(const uint32_t* packed, const int64_t* keys_sorted,
+                     const int64_t* order, int64_t n, int32_t d,
+                     uint32_t empty_voxel,
+                     int64_t* uniq_cells /*[M] out*/,
+                     uint32_t* bricks /*[M*d^3] out, prefilled empty*/,
+                     uint64_t* occ /*[M] out*/,
+                     uint8_t* solid /*[M] out*/) {
+    const int64_t d3 = (int64_t)d * d * d;
+    int64_t m = -1;
+    int64_t prev_cell = -1;
+    uint32_t first_val = 0;
+    bool all_equal = true;
+    int64_t count = 0;
+    auto finish_cell = [&]() {
+        if (m >= 0) solid[m] = (all_equal && count == d3) ? 1 : 0;
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        // last duplicate wins: skip unless this is the final entry of the run
+        if (i + 1 < n && keys_sorted[i + 1] == keys_sorted[i]) continue;
+        int64_t cell = keys_sorted[i] / d3;
+        int64_t flat = keys_sorted[i] % d3;
+        if (cell != prev_cell) {
+            finish_cell();
+            ++m;
+            uniq_cells[m] = cell;
+            occ[m] = 0;
+            first_val = packed[order[i]];
+            all_equal = true;
+            count = 0;
+            prev_cell = cell;
+        }
+        uint32_t v = packed[order[i]];
+        if (v == empty_voxel) continue;
+        bricks[m * d3 + flat] = v;
+        ++count;
+        if (v != first_val) all_equal = false;
+        // 4x4x4-downsampled occupancy bit(s) for this voxel
+        int wx = (int)(flat % d), wy = (int)((flat / d) % d), wz = (int)(flat / (d * d));
+        if (d >= 4) {
+            int f = d / 4;
+            occ[m] |= 1ull << ((wx / f) + (wy / f) * 4 + (wz / f) * 16);
+        } else if (d == 2) {
+            for (int dz = 0; dz < 2; ++dz)
+                for (int dy = 0; dy < 2; ++dy)
+                    for (int dx = 0; dx < 2; ++dx)
+                        occ[m] |= 1ull
+                            << ((wx * 2 + dx) + (wy * 2 + dy) * 4 + (wz * 2 + dz) * 16);
+        } else {  // d == 1
+            occ[m] = ~0ull;
+        }
+    }
+    finish_cell();
 }
 
 }  // extern "C"

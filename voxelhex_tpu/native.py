@@ -55,8 +55,48 @@ def load():
     lib.pack_level.restype = None
     lib.copy_region.argtypes = [u8p, u16p, i32, i32, i32, i32, i32, u8p, u16p]
     lib.copy_region.restype = None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    i64 = ctypes.c_int64
+    u32 = ctypes.c_uint32
+    lib.bulk_group_sort.argtypes = [i64p, i64, i32, i32, i64p, i64p, i64p]
+    lib.bulk_group_sort.restype = None
+    lib.bulk_group_fill.argtypes = [
+        u32p, i64p, i64p, i64, i32, u32, i64p, u32p, u64p, u8p
+    ]
+    lib.bulk_group_fill.restype = None
     _LIB = lib
     return _LIB
+
+
+def bulk_group(positions: np.ndarray, packed: np.ndarray, size: int, d: int,
+               empty_voxel: int):
+    """Group point voxels into bricks in one native pass.
+
+    Returns ``(uniq_cells int64[M], bricks uint32[M, d^3], occ uint64[M],
+    solid bool[M])`` — brick-pool rows in ascending cell-id order with
+    last-duplicate-wins semantics — or None when the library is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    pk = np.ascontiguousarray(packed, dtype=np.uint32)
+    n = pos.shape[0]
+    keys = np.empty(n, dtype=np.int64)
+    order = np.empty(n, dtype=np.int64)
+    m_out = np.zeros(1, dtype=np.int64)
+    lib.bulk_group_sort(pos, np.int64(n), np.int32(size), np.int32(d),
+                        keys, order, m_out)
+    m = int(m_out[0])
+    uniq_cells = np.empty(m, dtype=np.int64)
+    bricks = np.full((m, d**3), np.uint32(empty_voxel), dtype=np.uint32)
+    occ = np.zeros(m, dtype=np.uint64)
+    solid = np.zeros(m, dtype=np.uint8)
+    lib.bulk_group_fill(pk, keys, order, np.int64(n), np.int32(d),
+                        np.uint32(empty_voxel), uniq_cells,
+                        bricks.reshape(-1), occ, solid)
+    return uniq_cells, bricks, occ, solid.astype(bool)
 
 
 def rasterize_flat(flat):

@@ -350,7 +350,7 @@ def device_bitgrid(bg: BitGrid) -> dict:
 
 def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4,
                         lod_scale: float = 0.0, lateral_step: bool = True,
-                        parent_skip: bool = False):
+                        parent_skip: bool = False, advance_substeps: int = 2):
     """``trace(tree, origins, dirs, start_t=None)`` over the dense pyramid.
 
     ``lateral_step``: on block exit, move DIRECTLY to the same-level
@@ -524,7 +524,7 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         v_tmin = tmin
         v_p = point
         v_go = advance
-        for _ in range(2):
+        for _ in range(advance_substeps):
             s_new_p, s_step = _dda_step_v(dirv, sf, v_p, v_tmin, tsize)
             s_ts = _step_sectant_v(v_ts, s_step)
             s_tmin = jnp.where(
@@ -678,6 +678,7 @@ class BitGridRenderer:
         prepass_levels: int = 2,
         lateral_step: bool = True,
         parent_skip: bool = False,
+        advance_substeps: int = 2,
     ):
         self.prepass_levels = prepass_levels
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
@@ -687,7 +688,8 @@ class BitGridRenderer:
         self._max_iters = max_iters
         self._trace = make_bitgrid_tracer(bg, max_iters=max_iters,
                                           lateral_step=lateral_step,
-                                          parent_skip=parent_skip)
+                                          parent_skip=parent_skip,
+                                          advance_substeps=advance_substeps)
         self._trace_jit = jax.jit(self._trace)
 
         def _scatter(state, orig, hit, hvox, hnormal, hpoint):

@@ -107,29 +107,51 @@ def from_voxels(
     if len(positions) == 0:
         return tree
 
-    # deduplicate (last wins)
-    lin = (positions[:, 0] + positions[:, 1] * size + positions[:, 2] * size * size)
-    order = np.arange(len(lin))
-    # np.unique keeps the first occurrence; reverse so the last wins
-    _, first_idx = np.unique(lin[::-1], return_index=True)
-    sel = len(lin) - 1 - first_idx
-    positions, packed, lin = positions[sel], packed[sel], lin[sel]
-
-    # group into bricks
-    cells = positions // d
-    within = positions % d
-    flat_in_brick = within[:, 0] + within[:, 1] * d + within[:, 2] * d * d
     cpa = size // d  # cells per axis
-    cell_id = cells[:, 0] + cells[:, 1] * cpa + cells[:, 2] * cpa * cpa
-    uniq_cells, inverse = np.unique(cell_id, return_inverse=True)
-    bricks = np.full((len(uniq_cells), d**3), EMPTY_VOXEL, dtype=np.uint32)
-    bricks[inverse, flat_in_brick] = packed
 
-    # every interned value is non-empty by construction (zero-alpha colors
-    # map to EMPTY_VOXEL in intern_colors and were filtered above), so the
-    # palette-alpha walk of _brick_empty_mask is unnecessary here
-    empty_mask = bricks == EMPTY_VOXEL
-    occ_nonzero = ~empty_mask.all(axis=1)
+    from voxelhex_tpu import native
+
+    grouped = native.bulk_group(positions, packed, size, d, EMPTY_VOXEL)
+    if grouped is not None:
+        # one native pass: sort+dedup (last wins), brick fill, occupancy,
+        # solid detection
+        uniq_cells, bricks, _occ_u64, solid_full = grouped
+        occ_nonzero = np.ones(len(uniq_cells), dtype=bool)
+        solid = solid_full if simplify else np.zeros(len(bricks), dtype=bool)
+        solid_empty = np.zeros(len(bricks), dtype=bool)
+    else:
+        # deduplicate (last wins)
+        lin = (positions[:, 0] + positions[:, 1] * size
+               + positions[:, 2] * size * size)
+        # np.unique keeps the first occurrence; reverse so the last wins
+        _, first_idx = np.unique(lin[::-1], return_index=True)
+        sel = len(lin) - 1 - first_idx
+        positions, packed = positions[sel], packed[sel]
+
+        # group into bricks
+        cells = positions // d
+        within = positions % d
+        flat_in_brick = within[:, 0] + within[:, 1] * d + within[:, 2] * d * d
+        cell_id = cells[:, 0] + cells[:, 1] * cpa + cells[:, 2] * cpa * cpa
+        uniq_cells, inverse = np.unique(cell_id, return_inverse=True)
+        bricks = np.full((len(uniq_cells), d**3), EMPTY_VOXEL, dtype=np.uint32)
+        bricks[inverse, flat_in_brick] = packed
+
+        # every interned value is non-empty by construction (zero-alpha
+        # colors map to EMPTY_VOXEL in intern_colors and were filtered
+        # above), so the palette-alpha walk of _brick_empty_mask is
+        # unnecessary here
+        empty_mask = bricks == EMPTY_VOXEL
+        occ_nonzero = ~empty_mask.all(axis=1)
+
+        # vectorized solid-brick collapse (same result as brick_simplify on
+        # every brick: all-equal values -> Solid int / Empty)
+        if simplify:
+            eq = (bricks == bricks[:, :1]).all(axis=1)
+            solid_empty = eq & empty_mask[:, 0]
+            solid = eq & ~empty_mask[:, 0]
+        else:
+            solid = solid_empty = np.zeros(len(bricks), dtype=bool)
 
     # brick cell coordinates
     bx = uniq_cells % cpa
@@ -139,15 +161,6 @@ def from_voxels(
     # leaf-level nodes cover 4 bricks per axis
     leaf_grid = np.stack([bx // 4, by // 4, bz // 4], axis=1)
     sectants = (bx % 4) + (by % 4) * 4 + (bz % 4) * 16
-
-    # vectorized solid-brick collapse (same result as brick_simplify on
-    # every brick: all-equal values -> Solid int / Empty)
-    if simplify:
-        eq = (bricks == bricks[:, :1]).all(axis=1)
-        solid_empty = eq & empty_mask[:, 0]
-        solid = eq & ~empty_mask[:, 0]
-    else:
-        solid = solid_empty = np.zeros(len(bricks), dtype=bool)
 
     lpa = max(cpa // 4, 1)  # leaf nodes per axis
     leaf_ids = leaf_grid[:, 0] + leaf_grid[:, 1] * lpa + leaf_grid[:, 2] * lpa * lpa
