@@ -43,20 +43,19 @@ def main():
     cam = orbit_camera(128.0, resolution=RES)
 
     variants = {
-        "s2_20": (BitGridRenderer(flat, advance_substeps=2), 20),
-        "s4_14": (BitGridRenderer(flat, advance_substeps=4), 14),
-        "s4_12": (BitGridRenderer(flat, advance_substeps=4), 12),
-        "s5_12": (BitGridRenderer(flat, advance_substeps=5), 12),
-        "s6_10": (BitGridRenderer(flat, advance_substeps=6), 10),
+        "s2_20_sh4": (BitGridRenderer(flat, advance_substeps=2), 20, 4),
+        "s4_14_sh4": (BitGridRenderer(flat, advance_substeps=4), 14, 4),
+        "s4_14_sh2": (BitGridRenderer(flat, advance_substeps=4), 14, 2),
+        "s4_10_sh2": (BitGridRenderer(flat, advance_substeps=4), 10, 2),
     }
 
     import jax.numpy as jnp
 
     o, dv = device_rays(cam)
     bgc = jnp.asarray((0.0, 0.0, 0.0), dtype=jnp.float32)
-    for name, (r, ri) in variants.items():
+    for name, (r, ri, sh) in variants.items():
         t0 = time.time()
-        out = r.trace_compacted(o, dv, round_iters=ri, shade_bg=bgc)
+        out = r.trace_compacted(o, dv, round_iters=ri, shrink=sh, shade_bg=bgc)
         np.asarray(out[-1])
         print(f"warm {name}: {time.time()-t0:.1f}s "
               f"(rounds {[x['iters'] for x in r.last_stats['rounds']]})",
@@ -65,9 +64,9 @@ def main():
     best = {k: float("inf") for k in variants}
     stats = {}
     for f in range(args.frames):
-        for name, (r, ri) in variants.items():
+        for name, (r, ri, sh) in variants.items():
             t0 = time.time()
-            out = r.trace_compacted(o, dv, round_iters=ri, shade_bg=bgc)
+            out = r.trace_compacted(o, dv, round_iters=ri, shrink=sh, shade_bg=bgc)
             np.asarray(out[-1])
             best[name] = min(best[name], time.time() - t0)
             stats[name] = r.last_stats

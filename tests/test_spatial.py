@@ -322,3 +322,43 @@ def test_edge_case_cube_top_hit():
     assert hit and dist is not None
     assert abs(dist - 11.077772) < 1e-3
     assert abs((o + d * dist)[1] - 2.0) < 1e-3
+
+
+def test_brick_slot_and_cube_sides():
+    """brick_slot_for returns the brick-aligned cube containing a position
+    (reference: src/spatial/raytracing/mod.rs:65-70); CubeSides matches the
+    reference face numbering (src/spatial/mod.rs:29-36)."""
+    from voxelhex_tpu.spatial.math import CubeSides, brick_slot_for, cube_contains
+
+    smin, ssize = brick_slot_for([33.5, 7.9, 64.0], 32)
+    assert ssize == 32.0
+    np.testing.assert_allclose(smin, [32.0, 0.0, 64.0])
+    assert cube_contains(smin, ssize, [33.5, 7.9, 64.0])
+    assert (CubeSides.BACK, CubeSides.FRONT, CubeSides.TOP, CubeSides.BOTTOM,
+            CubeSides.LEFT, CubeSides.RIGHT) == (0, 1, 2, 3, 4, 5)
+
+
+def test_viewport_origin_delta_and_matrices():
+    """Viewport accumulates origin_delta over moves, detects leaving its
+    brick slot, and produces consistent view/projection/inverse matrices
+    (reference: types.rs:61-88, view.rs:211-256)."""
+    from voxelhex_tpu.render.camera import Camera, Viewport
+
+    cam = Camera(origin=np.array([10.0, 10.0, 10.0]),
+                 target=np.array([40.0, 10.0, 40.0]))
+    vp = Viewport(cam)
+    vp.move_viewport([3.0, 0.0, 0.0])
+    assert not vp.left_brick_slot(32)
+    vp.move_viewport([25.0, 0.0, 0.0])
+    assert vp.left_brick_slot(32)
+    np.testing.assert_allclose(vp.take_origin_delta(), [28.0, 0.0, 0.0])
+    np.testing.assert_allclose(vp.origin_delta, 0.0)
+
+    view, proj, inv_vp = vp.update_matrices()
+    # a world point projects and un-projects consistently
+    p = np.array([40.0, 10.0, 40.0, 1.0], dtype=np.float32)
+    clip = proj @ (view @ p)
+    ndc = clip / clip[3]
+    back = inv_vp @ ndc
+    back = back / back[3]
+    np.testing.assert_allclose(back[:3], p[:3], atol=1e-3)

@@ -678,7 +678,7 @@ class BitGridRenderer:
         prepass_levels: int = 2,
         lateral_step: bool = True,
         parent_skip: bool = False,
-        advance_substeps: int = 2,
+        advance_substeps: int = 4,
     ):
         self.prepass_levels = prepass_levels
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
@@ -857,7 +857,7 @@ class BitGridRenderer:
         return np.asarray(rgb).reshape(h, w, 3)
 
     def trace_compacted(
-        self, origins, directions, start_t=None, round_iters: int = 20,
+        self, origins, directions, start_t=None, round_iters: int = 14,
         shrink: int = 4, min_bucket: int = 8192, shade_bg=None,
     ):
         """Trace with straggler compaction: run fixed-iteration rounds and

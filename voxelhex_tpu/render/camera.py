@@ -80,6 +80,72 @@ class Camera:
         return origins.astype(np.float32), dirs.astype(np.float32)
 
 
+@dataclass
+class Viewport:
+    """Reference-parity viewport state around a :class:`Camera` (reference:
+    src/raytracing/bevy/types.rs:61-88 ``Viewport`` and view.rs:247-256
+    ``move_viewport``/``set_viewport_origin``).
+
+    Accumulates ``origin_delta`` between render updates; the streaming layer
+    re-pages when the origin leaves its brick-aligned slot (reference:
+    bevy/mod.rs:93-161 ``handle_viewport_position_updates``)."""
+
+    camera: Camera
+    frustum: np.ndarray = field(
+        default_factory=lambda: np.array([2.0, 2.0, 4096.0], dtype=np.float32)
+    )
+    origin_delta: np.ndarray = field(
+        default_factory=lambda: np.zeros(3, dtype=np.float32)
+    )
+
+    @property
+    def origin(self) -> np.ndarray:
+        return np.asarray(self.camera.origin, dtype=np.float32)
+
+    @property
+    def direction(self) -> np.ndarray:
+        f, _r, _u = self.camera.basis()
+        return f
+
+    def move_viewport(self, delta) -> None:
+        d = np.asarray(delta, dtype=np.float32)
+        self.camera.origin = np.asarray(self.camera.origin) + d
+        self.camera.target = np.asarray(self.camera.target) + d
+        self.origin_delta = self.origin_delta + d
+
+    def set_viewport_origin(self, origin) -> None:
+        o = np.asarray(origin, dtype=np.float32)
+        self.origin_delta = self.origin_delta + (o - self.origin)
+        self.camera.target = (
+            np.asarray(self.camera.target) + o - np.asarray(self.camera.origin)
+        )
+        self.camera.origin = o
+
+    def take_origin_delta(self) -> np.ndarray:
+        """Consume the accumulated origin movement (the per-frame check in
+        the reference clears origin_delta after handling it)."""
+        d = self.origin_delta
+        self.origin_delta = np.zeros(3, dtype=np.float32)
+        return d
+
+    def left_brick_slot(self, brick_dim: int) -> bool:
+        """Has the accumulated movement left the brick-aligned cube the
+        viewport started in? (the reference's re-page trigger)"""
+        from voxelhex_tpu.spatial.math import brick_slot_for, cube_contains
+
+        prev = self.origin - self.origin_delta
+        slot_min, slot_size = brick_slot_for(prev, brick_dim)
+        return not cube_contains(slot_min, slot_size, self.origin)
+
+    def update_matrices(self):
+        """(view, projection, inverse view-projection) — the uniform block
+        the reference uploads per frame (view.rs:211-239)."""
+        view = self.camera.view_matrix()
+        proj = self.camera.projection_matrix(far=float(self.frustum[2]))
+        vp = proj @ view
+        return view, proj, np.linalg.inv(vp)
+
+
 def orbit_camera(
     scene_size: float,
     yaw_deg: float = 40.0,

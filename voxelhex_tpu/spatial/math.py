@@ -94,6 +94,26 @@ def octant_in_sectant(sectant: int) -> int:
     return int(x) + int(z) * 2 + int(y) * 4
 
 
+class CubeSides:
+    """Face indices for the 6-bit per-node occlusion field (reference:
+    src/spatial/mod.rs:29-36 ``CubeSides``)."""
+
+    BACK = 0
+    FRONT = 1
+    TOP = 2
+    BOTTOM = 3
+    LEFT = 4
+    RIGHT = 5
+
+
+def brick_slot_for(position, brick_dim: int):
+    """(min_position, size) of the brick-aligned cube containing ``position``
+    (reference: src/spatial/raytracing/mod.rs:65-70 ``Cube::brick_slot_for``;
+    the streaming layer re-pages when the viewport origin leaves this cube)."""
+    p = np.asarray(position, dtype=np.float64)
+    return p - np.abs(np.mod(p, float(brick_dim))), float(brick_dim)
+
+
 def cube_contains(min_position, size, position) -> bool:
     """Half-open containment test of ``position`` in the cube (reference:
     src/spatial/mod.rs:54-61)."""
