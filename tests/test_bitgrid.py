@@ -225,3 +225,33 @@ def test_trace_stats_profiling_hook():
     assert stats["rounds"][-1]["n_active"] == 0 or (
         stats["total_iters"] >= r._max_iters
     )
+
+
+def test_splat_prepass_exact():
+    """The voxel-splat depth prepass must not change the rendered image —
+    starts are conservative (3x3 half-res neighborhood min, margin, and
+    splat-free texels march from the world entry)."""
+    tree = make_scene(64, 4)
+    r = BitGridRenderer(tree)
+    cam = orbit_camera(64.0, resolution=(64, 48))
+    a = r.render(cam, compact=True)
+    b = r.render(cam, compact=True, splat_prepass=True)
+    np.testing.assert_array_equal(a, b)
+    # close-up camera: voxels subtend multiple pixels
+    cam2 = orbit_camera(64.0, distance_factor=0.5, resolution=(64, 48))
+    a2 = r.render(cam2, compact=True)
+    b2 = r.render(cam2, compact=True, splat_prepass=True)
+    np.testing.assert_array_equal(a2, b2)
+    # cameras inside the scene at random orientations
+    from voxelhex_tpu.render.camera import Camera
+
+    rng = np.random.default_rng(5)
+    for k in range(4):
+        origin = rng.random(3) * 64.0
+        target = rng.random(3) * 64.0
+        if np.allclose(origin, target):
+            continue
+        cam3 = Camera(origin=origin, target=target, resolution=(64, 48))
+        a3 = r.render(cam3, compact=True)
+        b3 = r.render(cam3, compact=True, splat_prepass=True)
+        np.testing.assert_array_equal(a3, b3), k

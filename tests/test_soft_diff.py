@@ -154,4 +154,4 @@ def test_multihit_compacted_matches_plain():
     c2, v2, d2 = r.trace_hits_compacted(origins, dirs)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
-    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6, atol=1e-5)

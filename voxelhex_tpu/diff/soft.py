@@ -151,7 +151,7 @@ class SoftRenderer:
         return self._trace(self.tree, o, d)
 
     def trace_hits_compacted(
-        self, origins, dirs, round_iters: int = 20, shrink: int = 4,
+        self, origins, dirs, round_iters: int = 14, shrink: int = 4,
         min_bucket: int = 8192,
     ):
         """Multi-hit march with straggler compaction BETWEEN segments: rays
@@ -188,6 +188,10 @@ class SoftRenderer:
             while True:
                 cur = state[0].shape[0]
                 iters = round_iters if cur >= R else 4 * round_iters
+                # never march past the plain tracer's iteration cap: an
+                # overshooting final round would find hits the plain tracer
+                # truncates, breaking exact parity
+                iters = min(iters, self._max_iters - total_iters)
                 state, n_dev = fns["run"](r.tree, state, iters)
                 total_iters += iters
                 n = int(n_dev)

@@ -769,6 +769,142 @@ class BitGridRenderer:
         self._lod_cache = {}
         self.last_stats = None  # filled by trace_compacted (profiling hook)
 
+    def _splat_points(self):
+        """[N,3] f32 device array of occupied voxel centers (surface voxels
+        only — interior voxels can never be a first hit)."""
+        if getattr(self, "_splat_pts", None) is None:
+            S = int(self.bitgrid.size)
+            occ = (np.asarray(self.bitgrid.colors) != COLOR_EMPTY).reshape(S, S, S)
+            # occ is [x, y, z] (colors are x-fastest flat)... colors flat
+            # index is x + y*S + z*S^2 -> reshape gives [z, y, x]
+            occ = occ.transpose(2, 1, 0)  # -> [x, y, z]
+            interior = np.ones_like(occ)
+            for ax in (0, 1, 2):
+                lo = np.roll(occ, 1, axis=ax)
+                hi = np.roll(occ, -1, axis=ax)
+                # world-boundary voxels count as surface
+                sl = [slice(None)] * 3
+                sl[ax] = 0
+                lo[tuple(sl)] = False
+                sl[ax] = -1
+                hi[tuple(sl)] = False
+                interior &= lo & hi
+            surface = occ & ~interior
+            xs, ys, zs = np.nonzero(surface)
+            pts = np.stack([xs, ys, zs], axis=1).astype(np.float32) + 0.5
+            self._splat_pts = jnp.asarray(pts)
+        return self._splat_pts
+
+    def _splat_depth_fn(self, h2, w2):
+        """Jitted splat prepass: project voxel centers, scatter-min a
+        [h2, w2] distance buffer, expand to per-ray start distances.
+
+        A ~milliseconds dense pass replacing the reference's half-res ray
+        prepass (viewport_render.wgsl:702-710): the earlier trace-based
+        prepass lost because it cost a full extra trace session (PERF.md);
+        splatting is pure VPU math + one scatter."""
+        key = (h2, w2)
+        cache = getattr(self, "_splat_cache", None)
+        if cache is None:
+            cache = self._splat_cache = {}
+        if key in cache:
+            return cache[key]
+
+        def f(pts, origin, right, up, forward, scale, margin):
+            rel = pts - origin[None, :]
+            z = rel @ forward
+            x = rel @ right
+            y = rel @ up
+            zs = jnp.maximum(z, 1e-6)
+            u = (x / (zs * scale[0]) + 1.0) * 0.5 * w2
+            v = (1.0 - y / (zs * scale[1])) * 0.5 * h2
+            d = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+            # projected voxel footprint in half-res texels (from the VIEW
+            # depth z — oblique voxels project larger than sref/distance);
+            # the 3x3 neighborhood min only covers voxels spanning <= 3
+            sx = w2 / 2.0
+            sy = h2 / 2.0
+            sref = jnp.maximum(sx / scale[0], sy / scale[1])
+            f_tex = sref / jnp.maximum(z, 1e-6)
+
+            ui = jnp.clip(u, 0.0, w2 - 1.0).astype(I32)
+            vi = jnp.clip(v, 0.0, h2 - 1.0).astype(I32)
+            reliable = (
+                (z > 0.0) & (f_tex <= 3.0)
+                & (u >= -2.0) & (u < w2 + 2.0) & (v >= -2.0) & (v < h2 + 2.0)
+            )
+            idx = jnp.where(reliable, vi * w2 + ui, h2 * w2)  # OOB -> dropped
+            depth = (
+                jnp.full(h2 * w2, 1e8, dtype=F32)
+                .at[idx]
+                .min(d, mode="drop")
+                .reshape(h2, w2)
+            )
+            # conservative expand: min over the 3x3 neighborhood, minus a
+            # margin, doubled up to full resolution
+            dpad = jnp.pad(depth, 1, mode="edge")
+            dmin = depth
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    dmin = jnp.minimum(dmin, dpad[dy:dy + h2, dx:dx + w2])
+            # texels with no splat information march from the world entry —
+            # absence of splats must not be read as absence of geometry
+            dmin = jnp.where(dmin < 1e7, dmin, 0.0)
+
+            # voxels spanning MORE than 3 texels (too close for the 3x3 min)
+            # conservatively force a full march over their whole footprint:
+            # blocker grids of cell size c texels + 3x3 cell dilation cover
+            # footprints up to 2c
+            for c, f_lo, f_hi in ((2, 3.0, 4.0), (8, 4.0, 16.0), (32, 16.0, 64.0)):
+                gw, gh = (w2 + c - 1) // c + 4, (h2 + c - 1) // c + 4
+                gu = jnp.floor(u / c).astype(I32) + 2
+                gv = jnp.floor(v / c).astype(I32) + 2
+                near = (z > 0.0) & (f_tex > f_lo) & (f_tex <= f_hi)
+                ok = near & (gu >= 0) & (gu < gw) & (gv >= 0) & (gv < gh)
+                gi = jnp.where(ok, gv * gw + gu, gw * gh)
+                g = (
+                    jnp.zeros(gw * gh, dtype=F32)
+                    .at[gi]
+                    .max(1.0, mode="drop")
+                    .reshape(gh, gw)
+                )
+                gpad = jnp.pad(g, 1)
+                gmax = g
+                for dy in (0, 1, 2):
+                    for dx in (0, 1, 2):
+                        gmax = jnp.maximum(gmax, gpad[dy:dy + gh, dx:dx + gw])
+                up_g = jnp.repeat(jnp.repeat(gmax[2:, 2:], c, 0), c, 1)[:h2, :w2]
+                dmin = jnp.where(up_g > 0.0, 0.0, dmin)
+            # anything closer still (footprint > 64 texels, or any voxel
+            # hugging the eye regardless of view depth) blocks everything
+            global_block = jnp.any(
+                ((z > 0.0) & (f_tex > 64.0)) | (d < jnp.maximum(sref / 64.0, 1.5))
+            )
+            dmin = jnp.where(global_block, 0.0, dmin)
+
+            start = jnp.repeat(jnp.repeat(dmin, 2, axis=0), 2, axis=1)
+            return jnp.maximum(start - margin, 0.0)
+
+        cache[key] = jax.jit(f)
+        return cache[key]
+
+    def splat_start(self, camera, margin: float = 3.0):
+        """Per-ray start distances [h*w] from the voxel-splat depth prepass."""
+        w, h = camera.resolution
+        assert h % 2 == 0 and w % 2 == 0
+        forward, right, up = camera.basis()
+        tan_half = float(np.tan(np.radians(camera.fov_y_deg) / 2.0))
+        aspect = w / h
+        fn = self._splat_depth_fn(h // 2, w // 2)
+        start = fn(
+            self._splat_points(),
+            jnp.asarray(np.asarray(camera.origin, dtype=np.float32)),
+            jnp.asarray(right), jnp.asarray(up), jnp.asarray(forward),
+            jnp.asarray([tan_half * aspect, tan_half], dtype=np.float32),
+            jnp.asarray(margin, dtype=F32),
+        )
+        return start.reshape(-1)
+
     def _prepass_fn(self, h, w, levels):
         """Jitted multi-level renderer: trace at 1/2**levels resolution, then
         successively double, each level starting at the min depth of its 2x2
@@ -937,7 +1073,8 @@ class BitGridRenderer:
         return hit, voxel, hvox, hpoint, hnormal
 
     def render(self, camera, bg=(0.0, 0.0, 0.0), compact: bool = True,
-               out_u8: bool = False, out_device: bool = False):
+               out_u8: bool = False, out_device: bool = False,
+               splat_prepass: bool = False):
         """Render a frame.  ``out_u8`` quantizes to uint8 ON DEVICE (the
         reference's rgba8 output-texture convention) — 4x less host
         transfer, which dominates remote-TPU frame time.  ``out_device``
@@ -979,6 +1116,15 @@ class BitGridRenderer:
 
         # compaction path: host-driven rounds, optional multi-level prepass
         from voxelhex_tpu.render.camera import Camera
+
+        if splat_prepass and levels == 0 and h % 2 == 0 and w % 2 == 0:
+            _hit, _v, _hv, _hp, _hn, rgb = self.trace_compacted(
+                o, dv, start_t=self.splat_start(camera), shade_bg=bgc
+            )
+            if out_u8:
+                rgb = self._to_u8(rgb)
+            rgb = rgb.reshape(h, w, 3)
+            return rgb if out_device else np.asarray(rgb)
 
         start = None
         for i in range(levels, -1, -1):
