@@ -43,24 +43,36 @@ def main():
     cam = orbit_camera(128.0, resolution=RES)
     r = BitGridRenderer(flat)
 
+    # variants: off, and splat with a sweep of first-round lengths
+    sweeps = [("off", False, None)] + [
+        (f"on/fr{n}", True, n) for n in (14, 8, 6, 4)
+    ]
     frames = {}
-    for name, splat in (("off", False), ("on", True)):
+    for name, splat, fr in sweeps:
+        if fr is not None:
+            r.splat_first_iters = fr
         t0 = time.time()
         frames[name] = np.asarray(r.render(cam, out_u8=True, splat_prepass=splat))
         stats = r.last_stats
         print(f"warm {name}: {time.time()-t0:.1f}s rounds "
               f"{[(x['iters'], x['n_active']) for x in stats['rounds']]}",
               flush=True)
-    same = np.array_equal(frames["off"], frames["on"])
-    print(f"frames identical: {same}")
+        if name != "off":
+            same = np.array_equal(frames["off"], frames[name])
+            if not same:
+                diff = int((frames["off"] != frames[name]).any(axis=-1).sum())
+                print(f"  MISMATCH vs off: {diff} pixels", flush=True)
 
-    best = {"off": float("inf"), "on": float("inf")}
+    best = {name: float("inf") for name, _, _ in sweeps}
     for f in range(args.frames):
-        for name, splat in (("off", False), ("on", True)):
+        for name, splat, fr in sweeps:
+            if fr is not None:
+                r.splat_first_iters = fr
             t0 = time.time()
             np.asarray(r.render(cam, out_u8=True, splat_prepass=splat))
             best[name] = min(best[name], time.time() - t0)
-        print(f"frame {f}: off={best['off']:.3f}s on={best['on']:.3f}s", flush=True)
+        print(f"frame {f}: " + " ".join(
+            f"{k}={v:.3f}s" for k, v in best.items()), flush=True)
 
     rays = RES[0] * RES[1]
     for k, v in best.items():

@@ -101,4 +101,6 @@ def test_insert_many_speedup():
     for p, c in zip(pts, cols):
         b.insert(tuple(int(v) for v in p), Albedo(*(int(x) for x in c)))
     sequential = time.time() - t0
-    assert batched < sequential / 3  # conservatively 3x; typically much more
+    # sequential single-voxel inserts got ~4.5x faster (scalar-math edit
+    # path), so the batched advantage narrowed; 2x is the conservative floor
+    assert batched < sequential / 2

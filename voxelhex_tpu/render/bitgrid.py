@@ -768,6 +768,11 @@ class BitGridRenderer:
         self._prepass_cache = {}
         self._lod_cache = {}
         self.last_stats = None  # filled by trace_compacted (profiling hook)
+        # first-round length when a splat-prepass start is supplied; sweeps
+        # (benches/ab_splat.py) found shorter first rounds LOSE — sky rays
+        # have no splat and still need the full march, so cutting the round
+        # just adds dispatches
+        self.splat_first_iters = 14
 
     def _splat_points(self):
         """[N,3] f32 device array of occupied voxel centers (surface voxels
@@ -812,16 +817,27 @@ class BitGridRenderer:
 
         def f(pts, origin, right, up, forward, scale, margin):
             rel = pts - origin[None, :]
-            z = rel @ forward
-            x = rel @ right
-            y = rel @ up
+
+            # explicit elementwise dots: an [N,3]@[3] matvec hits the MXU at
+            # TPU default (bfloat16) precision, which skews texel coords by
+            # whole pixels and breaks the conservative-start guarantee
+            def dot3(m, v):
+                return m[:, 0] * v[0] + m[:, 1] * v[1] + m[:, 2] * v[2]
+
+            z = dot3(rel, forward)
+            x = dot3(rel, right)
+            y = dot3(rel, up)
             zs = jnp.maximum(z, 1e-6)
             u = (x / (zs * scale[0]) + 1.0) * 0.5 * w2
             v = (1.0 - y / (zs * scale[1])) * 0.5 * h2
             d = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
-            # projected voxel footprint in half-res texels (from the VIEW
-            # depth z — oblique voxels project larger than sref/distance);
-            # the 3x3 neighborhood min only covers voxels spanning <= 3
+            # projected voxel footprint in half-res texels (f_tex = one voxel
+            # edge at view depth z).  Coverage rule: a voxel's center can
+            # splat up to 0.866*f_tex (half the projected cube diagonal) away
+            # from a texel the voxel covers, plus <1 texel of index rounding;
+            # the 5x5 neighborhood min reaches +-2 texels, so splats are only
+            # reliable for 0.866*f + 1 <= 2, i.e. f <= ~1.15 per texel of
+            # slack -> cutoff 2.0 covers it with rounding headroom
             sx = w2 / 2.0
             sy = h2 / 2.0
             sref = jnp.maximum(sx / scale[0], sy / scale[1])
@@ -830,8 +846,8 @@ class BitGridRenderer:
             ui = jnp.clip(u, 0.0, w2 - 1.0).astype(I32)
             vi = jnp.clip(v, 0.0, h2 - 1.0).astype(I32)
             reliable = (
-                (z > 0.0) & (f_tex <= 3.0)
-                & (u >= -2.0) & (u < w2 + 2.0) & (v >= -2.0) & (v < h2 + 2.0)
+                (z > 0.0) & (f_tex <= 2.0)
+                & (u >= -3.0) & (u < w2 + 3.0) & (v >= -3.0) & (v < h2 + 3.0)
             )
             idx = jnp.where(reliable, vi * w2 + ui, h2 * w2)  # OOB -> dropped
             depth = (
@@ -840,22 +856,23 @@ class BitGridRenderer:
                 .min(d, mode="drop")
                 .reshape(h2, w2)
             )
-            # conservative expand: min over the 3x3 neighborhood, minus a
+            # conservative expand: min over the 5x5 neighborhood, minus a
             # margin, doubled up to full resolution
-            dpad = jnp.pad(depth, 1, mode="edge")
+            dpad = jnp.pad(depth, 2, mode="edge")
             dmin = depth
-            for dy in (0, 1, 2):
-                for dx in (0, 1, 2):
+            for dy in range(5):
+                for dx in range(5):
                     dmin = jnp.minimum(dmin, dpad[dy:dy + h2, dx:dx + w2])
             # texels with no splat information march from the world entry —
             # absence of splats must not be read as absence of geometry
             dmin = jnp.where(dmin < 1e7, dmin, 0.0)
 
-            # voxels spanning MORE than 3 texels (too close for the 3x3 min)
-            # conservatively force a full march over their whole footprint:
-            # blocker grids of cell size c texels + 3x3 cell dilation cover
-            # footprints up to 2c
-            for c, f_lo, f_hi in ((2, 3.0, 4.0), (8, 4.0, 16.0), (32, 16.0, 64.0)):
+            # voxels spanning MORE than the reliable cutoff conservatively
+            # force a full march over their whole footprint: a blocker grid
+            # of cell size c texels + 3x3 CELL dilation blocks every texel
+            # within c texels of the voxel center's cell, which covers the
+            # footprint when 0.866*f + 1 <= c
+            for c, f_lo, f_hi in ((4, 2.0, 3.0), (16, 3.0, 16.0), (64, 16.0, 64.0)):
                 gw, gh = (w2 + c - 1) // c + 4, (h2 + c - 1) // c + 4
                 gu = jnp.floor(u / c).astype(I32) + 2
                 gv = jnp.floor(v / c).astype(I32) + 2
@@ -878,7 +895,7 @@ class BitGridRenderer:
             # anything closer still (footprint > 64 texels, or any voxel
             # hugging the eye regardless of view depth) blocks everything
             global_block = jnp.any(
-                ((z > 0.0) & (f_tex > 64.0)) | (d < jnp.maximum(sref / 64.0, 1.5))
+                ((z > 0.0) & (f_tex > 64.0)) | (d < jnp.maximum(sref / 64.0, 3.0))
             )
             dmin = jnp.where(global_block, 0.0, dmin)
 
@@ -995,6 +1012,7 @@ class BitGridRenderer:
     def trace_compacted(
         self, origins, directions, start_t=None, round_iters: int = 14,
         shrink: int = 4, min_bucket: int = 8192, shade_bg=None,
+        first_round_iters: int | None = None,
     ):
         """Trace with straggler compaction: run fixed-iteration rounds and
         periodically pack the still-active rays into a 1/shrink-size buffer,
@@ -1020,6 +1038,10 @@ class BitGridRenderer:
             # full-size rounds stay short (compaction opportunity); compacted
             # buckets run long rounds to amortize dispatch latency
             iters = round_iters if cur >= R0 else 4 * round_iters
+            if total_iters == 0 and first_round_iters is not None:
+                # with a depth prepass most rays hit within a few steps of
+                # their start — the expensive full-width round can be shorter
+                iters = first_round_iters
             t_round = _time.time()
             state, n_active_dev = fns["run"](self.tree, state, iters)
             total_iters += iters
@@ -1119,7 +1141,8 @@ class BitGridRenderer:
 
         if splat_prepass and levels == 0 and h % 2 == 0 and w % 2 == 0:
             _hit, _v, _hv, _hp, _hn, rgb = self.trace_compacted(
-                o, dv, start_t=self.splat_start(camera), shade_bg=bgc
+                o, dv, start_t=self.splat_start(camera), shade_bg=bgc,
+                first_round_iters=self.splat_first_iters,
             )
             if out_u8:
                 rgb = self._to_u8(rgb)

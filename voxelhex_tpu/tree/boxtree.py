@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import math
+
 import numpy as np
 
 from voxelhex_tpu.constants import (
@@ -215,43 +217,52 @@ def _visit_cells(node_min, node_size, position, update_size):
     the update window clipped per cell.  ``cell_min``/``cell_size`` are
     floored/ceiled to integers for sub-unit cells of uniform leaves.
     """
-    node_min = np.asarray(node_min, dtype=np.float64)
+    # scalar math throughout: this runs once per touched level on EVERY edit,
+    # and numpy-on-3-vectors costs ~10x the arithmetic here
+    mx = float(node_min[0])
+    my = float(node_min[1])
+    mz = float(node_min[2])
+    ns = float(node_size)
     px, py, pz = (float(c) for c in position)
-    if (
-        px > node_min[0] + node_size
-        or py > node_min[1] + node_size
-        or pz > node_min[2] + node_size
-    ):
+    if px > mx + ns or py > my + ns or pz > mz + ns:
         return [], np.zeros(3, dtype=np.int64)
 
-    start = np.maximum([px, py, pz], node_min)
-    usize = np.array([px, py, pz]) + float(update_size) - start
-    cell_size = node_size / BOX_NODE_DIMENSION
+    sx, sy, sz = max(px, mx), max(py, my), max(pz, mz)
+    u = float(update_size)
+    ux, uy, uz = px + u - sx, py + u - sy, pz + u - sz
+    cell_size = ns / BOX_NODE_DIMENSION
+    csize = float(math.ceil(cell_size))
 
     results = []
-    x = start[0]
-    while x <= start[0] + usize[0]:
-        y = start[1]
-        while y <= start[1] + usize[1]:
-            z = start[2]
-            while z <= start[2] + usize[2]:
-                p = np.array([x, y, z])
-                if cube_contains(node_min, node_size, p):
-                    sectant = offset_sectant(p - node_min, node_size)
-                    cmin = node_min + sectant_offset(sectant) * node_size
-                    csize = cell_size
-                    cmin = np.floor(cmin)
-                    csize = float(np.ceil(csize))
-                    pos_in = np.maximum(start, cmin)
-                    remains = start + usize - pos_in
-                    size_in = np.minimum(cmin + csize - pos_in, remains)
-                    if np.all(size_in > 0):
+    x = sx
+    while x <= sx + ux:
+        y = sy
+        while y <= sy + uy:
+            z = sz
+            while z <= sz + uz:
+                if (
+                    mx <= x < mx + ns
+                    and my <= y < my + ns
+                    and mz <= z < mz + ns
+                ):
+                    ix = min(int((x - mx) * BOX_NODE_DIMENSION / ns), 3)
+                    iy = min(int((y - my) * BOX_NODE_DIMENSION / ns), 3)
+                    iz = min(int((z - mz) * BOX_NODE_DIMENSION / ns), 3)
+                    sectant = ix + iy * 4 + iz * 16
+                    cx = math.floor(mx + ix * 0.25 * ns)
+                    cy = math.floor(my + iy * 0.25 * ns)
+                    cz = math.floor(mz + iz * 0.25 * ns)
+                    pix, piy, piz = max(sx, cx), max(sy, cy), max(sz, cz)
+                    six = min(cx + csize - pix, sx + ux - pix)
+                    siy = min(cy + csize - piy, sy + uy - piy)
+                    siz = min(cz + csize - piz, sz + uz - piz)
+                    if six > 0 and siy > 0 and siz > 0:
                         results.append(
                             (
-                                pos_in.astype(np.int64),
-                                size_in.astype(np.int64),
+                                np.array([pix, piy, piz], dtype=np.int64),
+                                np.array([six, siy, siz], dtype=np.int64),
                                 sectant,
-                                cmin,
+                                np.array([cx, cy, cz], dtype=np.float64),
                                 csize,
                             )
                         )
@@ -259,7 +270,55 @@ def _visit_cells(node_min, node_size, position, update_size):
             y += cell_size
         x += cell_size
 
-    return results, usize.astype(np.int64)
+    return results, np.array([ux, uy, uz]).astype(np.int64)
+
+
+def _visit_sectants(node_min, node_size, position, update_size):
+    """Sectant indices of the child cells ``_visit_cells`` would yield —
+    the allocation-free subset used by the bottom-up post-processing passes,
+    which only need to know WHICH sectants an update touched."""
+    mx = float(node_min[0])
+    my = float(node_min[1])
+    mz = float(node_min[2])
+    ns = float(node_size)
+    px, py, pz = (float(c) for c in position)
+    if px > mx + ns or py > my + ns or pz > mz + ns:
+        return []
+
+    sx, sy, sz = max(px, mx), max(py, my), max(pz, mz)
+    u = float(update_size)
+    ux, uy, uz = px + u - sx, py + u - sy, pz + u - sz
+    cell_size = ns / BOX_NODE_DIMENSION
+    csize = float(math.ceil(cell_size))
+
+    sectants = []
+    x = sx
+    while x <= sx + ux:
+        y = sy
+        while y <= sy + uy:
+            z = sz
+            while z <= sz + uz:
+                if (
+                    mx <= x < mx + ns
+                    and my <= y < my + ns
+                    and mz <= z < mz + ns
+                ):
+                    ix = min(int((x - mx) * BOX_NODE_DIMENSION / ns), 3)
+                    iy = min(int((y - my) * BOX_NODE_DIMENSION / ns), 3)
+                    iz = min(int((z - mz) * BOX_NODE_DIMENSION / ns), 3)
+                    cx = math.floor(mx + ix * 0.25 * ns)
+                    cy = math.floor(my + iy * 0.25 * ns)
+                    cz = math.floor(mz + iz * 0.25 * ns)
+                    if (
+                        min(cx + csize, sx + ux) > max(sx, cx)
+                        and min(cy + csize, sy + uy) > max(sy, cy)
+                        and min(cz + csize, sz + uz) > max(sz, cz)
+                    ):
+                        sectants.append(ix + iy * 4 + iz * 16)
+                z += cell_size
+            y += cell_size
+        x += cell_size
+    return sectants
 
 
 class BoxTree:
@@ -1005,22 +1064,29 @@ class BoxTree:
         """Node occupying the same-size cell adjacent in ``direction``;
         None when absent (functional equivalent of reference
         get_sibling_by_position, src/boxtree/iterate.rs:173-290)."""
-        center = np.asarray(node_min, dtype=np.float64) + node_size / 2.0
-        target = center + np.asarray(direction, dtype=np.float64) * node_size
-        bmin, bsize = self._root_bounds()
-        if not cube_contains(bmin, bsize, target):
+        ns = float(node_size)
+        tx = float(node_min[0]) + ns / 2.0 + float(direction[0]) * ns
+        ty = float(node_min[1]) + ns / 2.0 + float(direction[1]) * ns
+        tz = float(node_min[2]) + ns / 2.0 + float(direction[2]) * ns
+        bsize = float(self.size)
+        bx = by = bz = 0.0
+        if not (0.0 <= tx < bsize and 0.0 <= ty < bsize and 0.0 <= tz < bsize):
             return None
         key = self.ROOT
-        while bsize > node_size:
+        while bsize > ns:
             node = self.node(key)
             if node.ntype != INTERNAL:
                 return None
-            sectant = offset_sectant(target - bmin, bsize)
-            child = node.child(sectant)
+            ix = min(int((tx - bx) * BOX_NODE_DIMENSION / bsize), 3)
+            iy = min(int((ty - by) * BOX_NODE_DIMENSION / bsize), 3)
+            iz = min(int((tz - bz) * BOX_NODE_DIMENSION / bsize), 3)
+            child = node.child(ix + iy * 4 + iz * 16)
             if not self.key_is_valid(child):
                 return None
-            bmin_arr, bsize = child_bounds_for(bmin, bsize, sectant)
-            bmin = bmin_arr.astype(np.float64)
+            bsize /= BOX_NODE_DIMENSION
+            bx += ix * bsize
+            by += iy * bsize
+            bz += iz * bsize
             key = child
         return key
 
@@ -1248,8 +1314,7 @@ class BoxTree:
         if np.all(actual_update == int(node_size)):
             new_occupied = U64_MAX
         else:
-            cells, _ = _visit_cells(node_min, node_size, pos, insert_size)
-            for _cpos, _csize, sectant, _cmin, _cs in cells:
+            for sectant in _visit_sectants(node_min, node_size, pos, insert_size):
                 if not self.node_empty_at(key, sectant):
                     new_occupied |= 1 << sectant
 
@@ -1430,8 +1495,7 @@ class BoxTree:
         ):
             new_occupied = 0
         else:
-            cells, _ = _visit_cells(node_min, node_size, pos, clear_size)
-            for _cpos, _csize, sectant, _cmin, _cs in cells:
+            for sectant in _visit_sectants(node_min, node_size, pos, clear_size):
                 if self.node_empty_at(key, sectant):
                     new_occupied &= ~(1 << sectant)
 
