@@ -771,3 +771,20 @@ def test_sectant_execution_unaligned_target_out_of_bounds():
     assert len(sectants) == len(set(sectants)) == 3 * 4 * 4
     for pos_in, size_in, sectant, cmin, csize in cells:
         np.testing.assert_array_equal(size_in, [100, 100, 100])
+
+
+def test_clear_depleted_node_reports_parent_frame_sectant():
+    """Clearing the last voxel of one subtree must not touch siblings: the
+    depleted node is reported to its parent at the node's sectant within the
+    PARENT (a child-frame sectant could name an unrelated occupied sibling)."""
+    red = Albedo(255, 0, 0, 255)
+    green = Albedo(0, 255, 0, 255)
+    for simp in (False, True):
+        t = BoxTree(64, 4, auto_simplify=simp)
+        # (4,0,0): root sectant 0, sectant 1 inside its 16-node
+        # (17,1,1): lives under ROOT sectant 1 — the collision target
+        t.insert((4, 0, 0), red)
+        t.insert((17, 1, 1), green)
+        t.clear((4, 0, 0))
+        assert t.get((4, 0, 0)).albedo is None
+        assert t.get((17, 1, 1)).albedo == green, simp

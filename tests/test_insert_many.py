@@ -102,5 +102,7 @@ def test_insert_many_speedup():
         b.insert(tuple(int(v) for v in p), Albedo(*(int(x) for x in c)))
     sequential = time.time() - t0
     # sequential single-voxel inserts got ~4.5x faster (scalar-math edit
-    # path), so the batched advantage narrowed; 2x is the conservative floor
-    assert batched < sequential / 2
+    # path), so the batched advantage narrowed to ~2-2.5x; assert a
+    # conservative 1.5x plus an absolute per-op ceiling
+    assert batched < sequential / 1.5
+    assert batched / len(pts) < 200e-6

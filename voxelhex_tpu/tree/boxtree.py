@@ -1459,8 +1459,12 @@ class BoxTree:
             depleted = self._post_process_clear(
                 key, bmin, bsize, actual_update, pos, clear_size, erased_whole_sectants
             )
+            # a depleted node must be reported to its PARENT at the node's
+            # sectant within the parent — i.e. the parent's stored path
+            # sectant, NOT offset_sectant in this node's own frame (which
+            # could name, and free, an unrelated occupied sibling)
             erased_whole_sectants = (
-                [offset_sectant(pos - bmin, bsize)] if depleted else []
+                [node_stack[-2][1]] if depleted and len(node_stack) >= 2 else []
             )
             if simplifyable:
                 simplifyable = self.simplify(key, True)
