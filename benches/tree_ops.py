@@ -64,6 +64,23 @@ def main():
     em_cols[:, 3] = 255
     bench("insert_many (batched)", lambda: insert_many(tree, em_pts, em_cols), n)
 
+    # native C++ edit engine on the same workload
+    from voxelhex_tpu.tree import native_edit
+
+    if native_edit.available():
+        nat = native_edit.NativeEditTree(size, 4, auto_simplify=False)
+        # preload through the same single-op path (no bulk import yet)
+        t0 = time.time()
+        for p, c in zip(pts[:10000], cols[:10000]):
+            nat.insert(tuple(int(v) for v in p), Albedo(*(int(x) for x in c)))
+        dt = time.time() - t0
+        print(f"native preload 10000:   {dt*1e6/10000:10.2f} us/op")
+        bench("native insert", lambda: [nat.insert(p, red) for p in ins_pts], n)
+        bench("native get", lambda: [nat.get(p) for p in ins_pts], n)
+        bench("native clear", lambda: [nat.clear(p) for p in ins_pts], n)
+    else:
+        print("native edit engine unavailable (build failed?)")
+
     with tempfile.NamedTemporaryFile(suffix=".vhx") as f:
         t0 = time.time()
         checkpoint.save_tree(f.name, tree)
