@@ -179,3 +179,23 @@ def test_last_access_matches_python_trigger_payload():
     py_stack = [k for k, _s in payloads[0][0]]
     assert len(stack) == len(py_stack)
     assert sorted(sect) == sorted(payloads[0][1])
+
+
+def test_to_boxtree_round_trip_renders():
+    """A natively-edited tree converts to a BoxTree that flattens and
+    renders identically to the same edits applied in Python."""
+    from voxelhex_tpu.render.bitgrid import BitGridRenderer
+    from voxelhex_tpu.render.camera import orbit_camera
+    from voxelhex_tpu.tree.flat import flatten
+
+    rng = np.random.default_rng(21)
+    py = BoxTree(16, 4, auto_simplify=True)
+    nat = native_edit.NativeEditTree(16, 4, auto_simplify=True)
+    _apply_random_ops(rng, py, nat, 200, 16)
+    conv = nat.to_boxtree()
+    np.testing.assert_array_equal(_dense(py, 16), _dense(conv, 16))
+    assert conv.node_count == py.node_count
+    cam = orbit_camera(16.0, resolution=(32, 24))
+    a = BitGridRenderer(flatten(py)).render(cam, compact=False)
+    b = BitGridRenderer(flatten(conv)).render(cam, compact=False)
+    np.testing.assert_array_equal(a, b)

@@ -292,6 +292,44 @@ class NativeEditTree:
     def slot_count(self) -> int:
         return int(self._lib.edit_tree_slot_count(self._ptr))
 
+    def to_boxtree(self):
+        """Convert to a Python :class:`BoxTree` (same structure, occupancy,
+        occlusion, palettes) — the bridge to flatten()/renderers/checkpoints."""
+        from voxelhex_tpu.tree.boxtree import BoxTree, _Node
+
+        out = BoxTree(self.size, self.brick_dim, auto_simplify=self.auto_simplify)
+        out.color_palette = list(self.color_palette)
+        out.data_palette = list(self.data_palette)
+        out._color_map = dict(self._color_map)
+        out._data_map = dict(self._data_map)
+
+        def convert(nat_key: int) -> int:
+            info = self.node_info(nat_key)
+            assert info is not None
+            ntype, occupied, occlusion, children = info
+            node = _Node()
+            node.ntype = ntype
+            node.occupied = occupied
+            node.occlusion = occlusion
+            if ntype == 1:  # INTERNAL
+                kids = [-1] * 64
+                for s in range(64):
+                    nc = int(children[s])
+                    if nc >= 0 and self.node_info(nc) is not None:
+                        kids[s] = convert(nc)
+                node.children = kids
+            elif ntype == 2:  # LEAF
+                node.bricks = [self.node_brick(nat_key, s) for s in range(64)]
+            elif ntype == 3:  # UNIFORM
+                node.bricks = self.node_brick(nat_key, -1)
+            if nat_key == 0:
+                out._nodes[0] = node
+                return 0
+            return out._push_node(node)
+
+        convert(0)
+        return out
+
     def last_access(self):
         """(access_stack, modified_sectants) of the last edit — the update
         trigger payload of the Python tree."""
