@@ -70,6 +70,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+    # observability hook (SURVEY §5): `--profile DIR` wraps the timed batch
+    # in a jax.profiler trace (xprof); view with tensorboard or xprof
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
+
     tree = build_scene()
     flat = flatten(tree)
     # orbit the 128^3 content (which sits in the corner of the 256 tree)
@@ -93,13 +99,20 @@ def main():
 
     pipe = FramePipeline(renderer)
     N = 5
-    best = float("inf")
-    for _ in range(3):
+
+    def timed_batch():
         t0 = time.time()
         futs = [pipe.render(cam, out_u8=True) for _ in range(N)]
         for f in futs:
             f.result()
-        best = min(best, (time.time() - t0) / N)
+        return (time.time() - t0) / N
+
+    best = float("inf")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            best = timed_batch()
+    for _ in range(3):
+        best = min(best, timed_batch())
 
     rays = RES[0] * RES[1]
     rays_per_sec = rays / best
