@@ -155,3 +155,48 @@ def test_multihit_compacted_matches_plain():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6, atol=1e-5)
+
+
+def test_candidate_dilation_grows_missing_voxel():
+    """with_candidates lets gradients ADD geometry: fitting against a target
+    that contains a voxel missing from the scene raises that voxel's opacity
+    (the plain soft path cannot — absent voxels are never recorded)."""
+    from voxelhex_tpu.diff.soft import with_candidates
+
+    # complete wall (the target scene) and the same wall with a hole
+    def make(missing):
+        t = BoxTree(16, 4, auto_simplify=False)
+        for x in range(4, 10):
+            for y in range(4, 10):
+                if missing and (x, y) == (6, 6):
+                    continue
+                t.insert((x, y, 8), RED)
+        return t
+
+    full, holed = make(False), make(True)
+
+    # target image: the full wall rendered opaque
+    r_full = SoftRenderer(full, max_hits=2)
+    p_full = r_full.init_params(init_opacity=0.999)
+    xs, ys = np.meshgrid(np.linspace(4.2, 9.8, 14), np.linspace(4.2, 9.8, 14))
+    origins = np.stack(
+        [xs.ravel(), ys.ravel(), np.full(xs.size, -2.0)], axis=1
+    ).astype(np.float32)
+    dirs = np.tile(np.array([[0, 0, 1.0]], dtype=np.float32), (xs.size, 1))
+    target = np.asarray(r_full.render(p_full, origins, dirs))
+
+    r, params, cand = with_candidates(holed, radius=1, max_hits=3)
+    assert cand.sum() > 0
+    from voxelhex_tpu.diff.soft import fit_soft
+
+    params2, losses = fit_soft(
+        r, origins, dirs, target, steps=300, lr=0.1, params0=params
+    )
+    assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
+
+    S = r.size
+    addr = 6 + 6 * S + 8 * S * S  # the missing voxel
+    import jax
+
+    alpha = float(jax.nn.sigmoid(params2["logits"][addr]))
+    assert alpha > 0.5, alpha

@@ -10,8 +10,10 @@ opacities
 where ``a = sigmoid(occupancy_logit)``.  Pixel gradients then flow into both
 the albedo and the opacity of every voxel on the ray — voxels that should
 vanish are carved away by gradient descent (annealed carving).  Voxels that
-do not yet exist receive no gradient; growing geometry needs a dilated
-candidate set (ROADMAP).
+do not yet exist receive no gradient through the plain path; use
+:func:`with_candidates` to dilate the traced occupancy so the empty shell
+around existing geometry is recorded with near-zero opacity — gradients can
+then GROW geometry as well as carve it.
 
 The multi-hit march reuses the BitGrid automaton: when a voxel is recorded
 its bit is cleared in the *register copy* of the block's occupancy words, so
@@ -241,6 +243,80 @@ class SoftRenderer:
     def loss(self, params, voxels, target):
         rgb = self.composite(params, voxels)
         return jnp.mean((rgb - target) ** 2)
+
+
+def with_candidates(
+    source,
+    radius: int = 1,
+    max_hits: int = 6,
+    candidate_logit: float = -3.0,
+    candidate_albedo: float = 0.5,
+    max_iters: int = 2048,
+):
+    """Grow-geometry setup: a SoftRenderer whose traced occupancy is the
+    scene DILATED by ``radius`` voxels (6-neighborhood), plus params where
+    the candidate voxels start nearly transparent.
+
+    The multi-hit march only records voxels present in the occupancy
+    bitmap, so absent voxels receive no gradient; dilating the bitmap lets
+    rays record the empty shell around existing geometry, and fitting can
+    then raise a candidate's opacity (grow) as well as carve real voxels.
+    Returns ``(renderer, params, candidate_mask)`` with the mask flat in
+    voxel-address order ([S^3], x fastest).
+    """
+    bg = source if isinstance(source, BitGrid) else bgmod.build_bitgrid(source)
+    S = int(bg.size)
+    occ = (np.asarray(bg.colors) != COLOR_EMPTY).reshape(S, S, S)  # [z,y,x]
+    dil = occ.copy()
+    for _ in range(radius):
+        grown = dil.copy()
+        for ax in (0, 1, 2):
+            shifted = np.roll(dil, 1, axis=ax)
+            sl = [slice(None)] * 3
+            sl[ax] = 0
+            shifted[tuple(sl)] = False
+            grown |= shifted
+            shifted = np.roll(dil, -1, axis=ax)
+            sl[ax] = -1
+            shifted[tuple(sl)] = False
+            grown |= shifted
+        dil = grown
+
+    # rebuild the occupancy pyramid from the dilated mask ([x,y,z] order for
+    # the packer); colors stay as-is — compositing shades from the params'
+    # albedo, and init_params treats COLOR_EMPTY voxels as unoccupied
+    levels_lo, levels_hi = [], []
+    grid = dil.transpose(2, 1, 0)
+    while grid.shape[0] > 1:
+        lo, hi, coarse = bgmod._pack_bits(grid)
+        levels_lo.append(lo)
+        levels_hi.append(hi)
+        grid = coarse
+    bases = np.zeros(len(levels_lo), dtype=np.int64)
+    for i in range(1, len(levels_lo)):
+        bases[i] = bases[i - 1] + len(levels_lo[i - 1])
+    bg2 = BitGrid(
+        size=S,
+        n_levels=len(levels_lo),
+        level_bases=bases,
+        occ_lo=np.concatenate(levels_lo),
+        occ_hi=np.concatenate(levels_hi),
+        colors=np.asarray(bg.colors),
+        palette=np.asarray(bg.palette),
+    )
+    renderer = SoftRenderer(bg2, max_hits=max_hits, max_iters=max_iters)
+    params = renderer.init_params()
+    # voxel-address order is x + y*S + z*S^2; occ is [z,y,x], whose ravel is
+    # x-fastest already
+    cand = (dil & ~occ).ravel()
+    cand_j = jnp.asarray(cand)
+    params["logits"] = jnp.where(
+        cand_j, jnp.float32(candidate_logit), params["logits"]
+    )
+    params["albedo"] = jnp.where(
+        cand_j[:, None], jnp.float32(candidate_albedo), params["albedo"]
+    )
+    return renderer, params, cand
 
 
 def fit_soft(
