@@ -1367,6 +1367,60 @@ int32_t edit_tree_node_brick(void* tp, int32_t key, int32_t sectant,
     return b->kind;
 }
 
+// -------- direct structure loading (the from_boxtree bridge): callers set
+// node content wholesale instead of replaying edits
+
+// ensure slot `key` exists and is alive; grows the pool as needed
+void edit_tree_load_reserve(void* tp, int32_t n_slots) {
+    Tree* t = (Tree*)tp;
+    while ((int32_t)t->nodes.size() < n_slots)
+        t->nodes.push_back(nullptr);
+}
+
+void edit_tree_load_node(void* tp, int32_t key, uint8_t type,
+                         uint64_t occupied, uint8_t occlusion,
+                         const int32_t* children) {
+    Tree* t = (Tree*)tp;
+    if (!t->nodes[key]) t->nodes[key] = std::make_unique<Node>();
+    Node& n = *t->nodes[key];
+    n.type = type;
+    n.occupied = occupied;
+    n.occlusion = occlusion;
+    n.children.reset();
+    n.bricks.clear();
+    if (type == INTERNAL) {
+        n.children = std::make_unique<std::array<int32_t, NCHILD>>();
+        for (int s = 0; s < NCHILD; ++s) (*n.children)[s] = children[s];
+    } else if (type == LEAF) {
+        n.bricks.assign(NCHILD, Brick{});
+    } else if (type == UNIFORM) {
+        n.bricks.assign(1, Brick{});
+    }
+}
+
+// kind: 1 solid (data[0]), 2 parted (data = d^3 words); sectant -1 = uniform
+void edit_tree_load_brick(void* tp, int32_t key, int32_t sectant,
+                          int32_t kind, const uint32_t* data) {
+    Tree* t = (Tree*)tp;
+    Node& n = *t->nodes[key];
+    Brick& b = sectant < 0 ? n.bricks[0] : n.bricks[sectant];
+    b.kind = (uint8_t)kind;
+    if (kind == B_SOLID) {
+        b.solid = data[0];
+    } else if (kind == B_PARTED) {
+        const size_t d = (size_t)t->brick_dim;
+        b.v.assign(data, data + d * d * d);
+    }
+}
+
+// rebuild the free list after loading (freed = still-null slots)
+void edit_tree_load_finish(void* tp) {
+    Tree* t = (Tree*)tp;
+    t->free_list.clear();
+    for (int32_t k = (int32_t)t->nodes.size() - 1; k >= 0; --k)
+        if (!t->nodes[k]) t->free_list.push_back(k);
+}
+
 int32_t edit_tree_last_stack(void* tp, int32_t* out, int32_t cap) {
     Tree* t = (Tree*)tp;
     int32_t n = (int32_t)std::min<size_t>(t->last_stack.size(), (size_t)cap);

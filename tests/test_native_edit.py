@@ -199,3 +199,24 @@ def test_to_boxtree_round_trip_renders():
     a = BitGridRenderer(flatten(py)).render(cam, compact=False)
     b = BitGridRenderer(flatten(conv)).render(cam, compact=False)
     np.testing.assert_array_equal(a, b)
+
+
+def test_from_boxtree_mirror_then_edit():
+    """A bulk-built Python tree mirrors into the native engine (identical
+    structure) and further edits stay in lockstep."""
+    rng = np.random.default_rng(33)
+    py = BoxTree(64, 4, auto_simplify=True)
+    for _ in range(300):
+        p = tuple(int(v) for v in rng.integers(0, 64, 3))
+        py.insert(p, _random_entry(rng))
+    nat = native_edit.NativeEditTree.from_boxtree(py)
+    assert nat.node_count == py.node_count
+    _walk_compare(py, nat)
+    # continue editing both
+    _apply_random_ops(rng, py, nat, 150, 64)
+    assert nat.node_count == py.node_count
+    _walk_compare(py, nat)
+    pts = rng.integers(0, 64, (300, 3))
+    for p in pts:
+        pp = tuple(int(v) for v in p)
+        assert py.get_packed(pp) == nat.get_packed(pp)

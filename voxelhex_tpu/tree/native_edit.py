@@ -91,6 +91,16 @@ def load():
     lib.edit_tree_node_info.restype = i32
     lib.edit_tree_node_brick.argtypes = [p, i32, i32, u32p]
     lib.edit_tree_node_brick.restype = i32
+    lib.edit_tree_load_reserve.argtypes = [p, i32]
+    lib.edit_tree_load_reserve.restype = None
+    lib.edit_tree_load_node.argtypes = [
+        p, i32, u8, ctypes.c_uint64, u8, i32p
+    ]
+    lib.edit_tree_load_node.restype = None
+    lib.edit_tree_load_brick.argtypes = [p, i32, i32, i32, u32p]
+    lib.edit_tree_load_brick.restype = None
+    lib.edit_tree_load_finish.argtypes = [p]
+    lib.edit_tree_load_finish.restype = None
     lib.edit_tree_last_stack.argtypes = [p, i32p, i32]
     lib.edit_tree_last_stack.restype = i32
     lib.edit_tree_last_sectants.argtypes = [p, i32p, i32]
@@ -291,6 +301,55 @@ class NativeEditTree:
     @property
     def slot_count(self) -> int:
         return int(self._lib.edit_tree_slot_count(self._ptr))
+
+    @classmethod
+    def from_boxtree(cls, tree) -> "NativeEditTree":
+        """Mirror an existing Python :class:`BoxTree` into a native engine
+        (same node keys, bricks, occupancy, occlusion, palettes) — e.g. a
+        bulk-imported scene handed over for latency-critical editing."""
+        from voxelhex_tpu.tree.boxtree import INTERNAL, LEAF, UNIFORM
+
+        nat = cls(tree.size, tree.brick_dim, auto_simplify=tree.auto_simplify)
+        nat.color_palette = list(tree.color_palette)
+        nat.data_palette = list(tree.data_palette)
+        nat._color_map = dict(tree._color_map)
+        nat._data_map = dict(tree._data_map)
+        nat._sync_palette()
+
+        lib, ptr = nat._lib, nat._ptr
+        lib.edit_tree_load_reserve(ptr, len(tree._nodes))
+        no_children = np.full(64, -1, dtype=np.int32)
+        solid_buf = np.zeros(1, dtype=np.uint32)
+        for key, node in enumerate(tree._nodes):
+            if node is None:
+                continue
+            if node.ntype == INTERNAL and node.children is not None:
+                kids = np.asarray(node.children, dtype=np.int32)
+            else:
+                kids = no_children
+            lib.edit_tree_load_node(
+                ptr, key, node.ntype, node.occupied, node.occlusion,
+                np.ascontiguousarray(kids),
+            )
+            bricks = (
+                [(s, node.bricks[s]) for s in range(64)]
+                if node.ntype == LEAF
+                else [(-1, node.bricks)] if node.ntype == UNIFORM
+                else []
+            )
+            for sectant, brick in bricks:
+                if brick is None:
+                    continue
+                if isinstance(brick, (int, np.integer)):
+                    solid_buf[0] = np.uint32(brick)
+                    lib.edit_tree_load_brick(ptr, key, sectant, 1, solid_buf)
+                else:
+                    lib.edit_tree_load_brick(
+                        ptr, key, sectant, 2,
+                        np.ascontiguousarray(brick, dtype=np.uint32),
+                    )
+        lib.edit_tree_load_finish(ptr)
+        return nat
 
     def to_boxtree(self):
         """Convert to a Python :class:`BoxTree` (same structure, occupancy,
