@@ -9,7 +9,9 @@ can then exceed single-chip HBM by the octant factor (8 for a 2x2x2 split,
 
 No ray routing is needed: rays travel straight lines, so the global first
 hit is simply the minimum-distance hit over the per-octant independent
-marches.  Each device traces ALL rays against its own sub-volume (the
+marches.  (Rays hitting EXACTLY on a voxel edge have two equal-distance
+first hits; the octant-local march may resolve such measure-zero ties
+differently from the global march — both answers are valid first hits.)  Each device traces ALL rays against its own sub-volume (the
 tracer's ray/AABB clip starts them at the octant boundary, so per-device
 march lengths shrink with the octant size), then one ``pmin``/``psum``
 combine selects the winning hit per ray — communication is O(rays), not
