@@ -1,0 +1,89 @@
+"""Render/edit server tests: frames over HTTP, live edits, stats."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from voxelhex_tpu.serve import RenderService, make_server
+from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+
+
+def _scene(size=64, brick=4):
+    tree = BoxTree(size, brick, auto_simplify=False)
+    rng = np.random.default_rng(4)
+    for _ in range(200):
+        p = tuple(int(v) for v in rng.integers(0, size, 3))
+        tree.insert(p, Albedo(*(int(v) for v in rng.integers(64, 255, 3)), 255))
+    return tree
+
+
+@pytest.fixture(scope="module")
+def server():
+    service = RenderService(_scene())
+    srv = make_server(service, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield service, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_frame_endpoint_matches_direct_render(server):
+    service, base = server
+    url = (f"{base}/frame?ox=-20&oy=40&oz=-20&tx=16&ty=16&tz=16"
+           f"&w=64&h=48")
+    png = urllib.request.urlopen(url, timeout=30).read()
+    from PIL import Image
+    import io
+
+    img = np.asarray(Image.open(io.BytesIO(png)))
+    assert img.shape == (48, 64, 3)
+    direct = service.render([-20, 40, -20], [16, 16, 16], (64, 48))
+    np.testing.assert_array_equal(img, direct)
+
+
+def test_edit_endpoint_changes_frames(server):
+    service, base = server
+    frame_url = (f"{base}/frame?ox=20&oy=30&oz=-6&tx=8&ty=12&tz=8&w=48&h=36")
+    before = urllib.request.urlopen(frame_url, timeout=30).read()
+    # drop a bright slab right under the camera
+    ops = [{"op": "insert", "pos": [8, 12, 8], "color": [255, 0, 0, 255],
+            "size": 4}]
+    req = urllib.request.Request(
+        f"{base}/edit", data=json.dumps(ops).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    resp = json.load(urllib.request.urlopen(req, timeout=30))
+    assert resp["applied"] == 1
+    after = urllib.request.urlopen(frame_url, timeout=30).read()
+    assert before != after
+    # and clearing restores emptiness at the spot
+    ops = [{"op": "clear", "pos": [8, 12, 8], "size": 4}]
+    req = urllib.request.Request(
+        f"{base}/edit", data=json.dumps(ops).encode(), method="POST"
+    )
+    json.load(urllib.request.urlopen(req, timeout=30))
+    assert service.tree.get((8, 12, 8)).albedo is None
+
+
+def test_stats_endpoint(server):
+    service, base = server
+    stats = json.load(urllib.request.urlopen(f"{base}/stats", timeout=30))
+    assert stats["size"] == 64
+    assert stats["frames_served"] >= 1
+    assert "node_count" in stats
+
+
+def test_streaming_service_serves_windowed_scene():
+    tree = _scene(size=64)
+    service = RenderService(tree, view_size=32)
+    assert service.view is not None
+    rgb = service.render([-30, 60, -30], [32, 16, 32], (48, 36))
+    assert rgb.shape == (36, 48, 3)
+    # edits propagate through the streaming view's triggers
+    service.apply_edits({"op": "insert", "pos": [32, 30, 32],
+                         "color": [255, 255, 0, 255], "size": 4})
+    rgb2 = service.render([-30, 60, -30], [32, 16, 32], (48, 36))
+    assert not np.array_equal(rgb, rgb2)

@@ -1,0 +1,225 @@
+"""Headless render/edit server: the serving runtime around the renderer.
+
+The reference ships a windowed viewer (whisp: bevy app with camera controls
+and live edit signals, whisp/src/main.rs); in a TPU deployment the chip
+lives in a datacenter, so the equivalent is a render SERVICE: scene resident
+on device, clients post camera poses and edits over HTTP, frames come back
+as PNG.  One process owns the chip (see CLAUDE.md); the server serializes
+device work onto a single lock.
+
+Endpoints
+---------
+- ``GET /frame?ox=&oy=&oz=&tx=&ty=&tz=&w=&h=[&fov=]`` — render a frame for
+  the given origin/target camera; returns ``image/png``.
+- ``POST /edit`` — JSON ``{"op": "insert"|"clear", "pos": [x,y,z],
+  "color": [r,g,b,a]}`` (or a list of such ops); applies to the live tree
+  and invalidates device state (delta uploads through the streaming view's
+  edit triggers).
+- ``GET /stats`` — JSON: scene info + last trace profile (rounds,
+  iterations, seconds — the whisp fps-overlay analog).
+
+Usage::
+
+    python -m voxelhex_tpu.serve model.vox --port 8745          # serve
+    curl 'localhost:8745/frame?ox=-40&oy=90&oz=-40&tx=64&ty=20&tz=64&w=640&h=360' > f.png
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class RenderService:
+    """Device-owning render/edit core shared by the HTTP layer and tests."""
+
+    def __init__(self, tree, view_size: int | None = None):
+        from voxelhex_tpu.render.bitgrid import BitGridRenderer
+        from voxelhex_tpu.render.streaming import StreamingView
+        from voxelhex_tpu.tree.flat import flatten
+
+        self.tree = tree
+        self._lock = threading.Lock()
+        self.frames_served = 0
+        if view_size is not None and view_size < tree.size:
+            self.view = StreamingView(tree, view_size=view_size)
+            self.renderer = None
+        else:
+            self.view = None
+            self.renderer = BitGridRenderer(flatten(tree))
+
+    def render(self, origin, target, resolution, fov_y_deg=50.0, bg=(0, 0, 0)):
+        from voxelhex_tpu.render.camera import Camera
+
+        cam = Camera(
+            origin=np.asarray(origin, dtype=np.float64),
+            target=np.asarray(target, dtype=np.float64),
+            resolution=tuple(resolution),
+            fov_y_deg=float(fov_y_deg),
+        )
+        with self._lock:
+            if self.view is not None:
+                rgb = self.view.render(cam, bg=bg, out_u8=True)
+            else:
+                rgb = self.renderer.render(cam, bg=bg, out_u8=True)
+            self.frames_served += 1
+            return np.asarray(rgb)
+
+    def apply_edits(self, ops) -> int:
+        """Apply a list of edit dicts; returns the number applied.  Edits go
+        through the live tree's update path, so streaming views pick them up
+        via update triggers (delta uploads)."""
+        from voxelhex_tpu.tree.boxtree import Albedo
+
+        if isinstance(ops, dict):
+            ops = [ops]
+        n = 0
+        with self._lock:
+            for op in ops:
+                pos = tuple(int(v) for v in op["pos"])
+                kind = op.get("op", "insert")
+                if kind == "insert":
+                    c = op.get("color", [255, 255, 255, 255])
+                    size = int(op.get("size", 1))
+                    if size > 1:
+                        self.tree.insert_at_lod(pos, size, Albedo(*(int(v) for v in c)))
+                    else:
+                        self.tree.insert(pos, Albedo(*(int(v) for v in c)))
+                elif kind == "clear":
+                    size = int(op.get("size", 1))
+                    if size > 1:
+                        self.tree.clear_at_lod(pos, size)
+                    else:
+                        self.tree.clear(pos)
+                else:
+                    raise ValueError(f"unknown op {kind!r}")
+                n += 1
+            if self.view is None:
+                # whole-scene renderer: refresh the flat snapshot
+                from voxelhex_tpu.render.bitgrid import BitGridRenderer
+                from voxelhex_tpu.tree.flat import flatten
+
+                self.renderer = BitGridRenderer(flatten(self.tree))
+        return n
+
+    def stats(self) -> dict:
+        r = self.view.renderer if self.view is not None else self.renderer
+        out = {
+            "size": int(self.tree.size),
+            "brick_dim": int(self.tree.brick_dim),
+            "node_count": int(self.tree.node_count),
+            "frames_served": self.frames_served,
+            "streaming": self.view is not None,
+        }
+        if r is not None and getattr(r, "last_stats", None):
+            out["last_trace"] = r.last_stats
+        return out
+
+
+def _png_bytes(rgb_u8: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(rgb_u8).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_server(service: RenderService, host: str = "127.0.0.1",
+                port: int = 8745) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == "/frame":
+                    q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                    origin = [float(q["ox"]), float(q["oy"]), float(q["oz"])]
+                    target = [float(q["tx"]), float(q["ty"]), float(q["tz"])]
+                    res = (int(q.get("w", 640)), int(q.get("h", 360)))
+                    fov = float(q.get("fov", 50.0))
+                    rgb = service.render(origin, target, res, fov)
+                    self._send(200, _png_bytes(rgb), "image/png")
+                elif url.path == "/stats":
+                    body = json.dumps(service.stats()).encode()
+                    self._send(200, body, "application/json")
+                else:
+                    self._send(404, b"not found", "text/plain")
+            except Exception as e:  # noqa: BLE001 — report to the client
+                self._send(500, str(e).encode(), "text/plain")
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == "/edit":
+                    n = int(self.headers.get("Content-Length", 0))
+                    ops = json.loads(self.rfile.read(n) or b"{}")
+                    applied = service.apply_edits(ops)
+                    self._send(200, json.dumps({"applied": applied}).encode(),
+                               "application/json")
+                else:
+                    self._send(404, b"not found", "text/plain")
+            except Exception as e:  # noqa: BLE001
+                self._send(500, str(e).encode(), "text/plain")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model", nargs="?", help=".vox file (procedural demo scene if omitted)")
+    ap.add_argument("--port", type=int, default=8745)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--view", type=int, default=None,
+                    help="streaming view window size (out-of-core scenes)")
+    ap.add_argument("--brick", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.model:
+        from voxelhex_tpu.io.vox import load_vox_tree_cached
+
+        tree = load_vox_tree_cached(args.model, brick_dim=args.brick)
+    else:
+        from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+
+        tree = BoxTree(64, 4)
+        rng = np.random.default_rng(0)
+        for _ in range(500):
+            p = tuple(int(v) for v in rng.integers(0, 64, 3))
+            tree.insert(p, Albedo(*(int(v) for v in rng.integers(64, 255, 3)), 255))
+
+    service = RenderService(tree, view_size=args.view)
+    srv = make_server(service, args.host, args.port)
+    print(f"serving {tree.size}^3 scene on http://{args.host}:{args.port} "
+          f"(streaming={service.view is not None})")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
