@@ -89,6 +89,19 @@ def main():
         print(f"gingerbread streaming: {best:.3f}s/frame  "
               f"{rays/best/1e6:.2f} Mrays/s", flush=True)
 
+        # pipelined: downloads overlap the next frame's rounds
+        from voxelhex_tpu.render.pipeline import FramePipeline
+
+        pipe = FramePipeline(view)
+        N = max(args.frames, 3)
+        t0 = time.time()
+        futs = [pipe.render(cam2, out_u8=True) for _ in range(N)]
+        for f in futs:
+            f.result()
+        per = (time.time() - t0) / N
+        print(f"gingerbread streaming (pipelined): {per:.3f}s/frame  "
+              f"{rays/per/1e6:.2f} Mrays/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -52,6 +52,22 @@ def __getattr__(name):
         from voxelhex_tpu.io import checkpoint
 
         return getattr(checkpoint, name)
+    if name == "NativeEditTree":
+        from voxelhex_tpu.tree.native_edit import NativeEditTree
+
+        return NativeEditTree
+    if name == "StreamingView":
+        from voxelhex_tpu.render.streaming import StreamingView
+
+        return StreamingView
+    if name == "SoftRenderer":
+        from voxelhex_tpu.diff.soft import SoftRenderer
+
+        return SoftRenderer
+    if name == "RenderService":
+        from voxelhex_tpu.serve import RenderService
+
+        return RenderService
     raise AttributeError(f"module 'voxelhex_tpu' has no attribute '{name}'")
 
 
@@ -72,8 +88,12 @@ __all__ = [
     "load_vox_scene",
     "load_vox_tree",
     "load_vox_tree_cached",
+    "NativeEditTree",
     "orbit_camera",
+    "RenderService",
     "save_flat",
     "save_tree",
+    "SoftRenderer",
+    "StreamingView",
     "__version__",
 ]

@@ -606,8 +606,11 @@ class StreamingView:
 
     # ------------------------------------------------------------------
 
-    def render(self, camera, bg=(0.0, 0.0, 0.0), out_u8: bool = False):
-        """Update the window for the camera and render (view-space shift)."""
+    def render(self, camera, bg=(0.0, 0.0, 0.0), out_u8: bool = False,
+               out_device: bool = False):
+        """Update the window for the camera and render (view-space shift).
+        ``out_device=True`` leaves the frame on device (FramePipeline can
+        then overlap the download with the next frame's rounds)."""
         from dataclasses import replace
 
         self.update(np.asarray(camera.target, dtype=np.float64))
@@ -618,4 +621,5 @@ class StreamingView:
             target=np.asarray(camera.target, dtype=np.float32)
             - self.origin.astype(np.float32),
         )
-        return self.renderer.render(cam_local, bg=bg, out_u8=out_u8)
+        return self.renderer.render(cam_local, bg=bg, out_u8=out_u8,
+                                    out_device=out_device)
