@@ -78,6 +78,11 @@ def main():
         bench("native insert", lambda: [nat.insert(p, red) for p in ins_pts], n)
         bench("native get", lambda: [nat.get(p) for p in ins_pts], n)
         bench("native clear", lambda: [nat.clear(p) for p in ins_pts], n)
+        bpts = np.array(ins_pts, dtype=np.int64)
+        bcols = np.tile(np.array([[255, 0, 0, 255]], dtype=np.uint8), (n, 1))
+        bench("native insert_batch", lambda: nat.insert_batch(bpts, bcols), n)
+        bench("native get_batch", lambda: nat.get_packed_batch(bpts), n)
+        bench("native clear_batch", lambda: nat.clear_batch(bpts), n)
     else:
         print("native edit engine unavailable (build failed?)")
 

@@ -1316,6 +1316,39 @@ int32_t edit_tree_clear(void* tp, int64_t x, int64_t y, int64_t z,
     return clear_at_lod_internal(*t, pos, clear_size) ? 1 : 0;
 }
 
+// batched single-voxel ops: one call, N edits — amortizes the binding cost
+int64_t edit_tree_insert_batch(void* tp, const int64_t* pos,
+                               const uint32_t* packed, int64_t n,
+                               int32_t overwrite) {
+    Tree* t = (Tree*)tp;
+    int64_t updated = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t p[3] = {pos[i * 3], pos[i * 3 + 1], pos[i * 3 + 2]};
+        updated += insert_at_lod_internal(*t, overwrite != 0, p, 1, packed[i])
+                       ? 1 : 0;
+    }
+    return updated;
+}
+
+int64_t edit_tree_clear_batch(void* tp, const int64_t* pos, int64_t n) {
+    Tree* t = (Tree*)tp;
+    int64_t updated = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t p[3] = {pos[i * 3], pos[i * 3 + 1], pos[i * 3 + 2]};
+        updated += clear_at_lod_internal(*t, p, 1) ? 1 : 0;
+    }
+    return updated;
+}
+
+void edit_tree_get_batch(void* tp, const int64_t* pos, int64_t n,
+                         uint32_t* out) {
+    Tree* t = (Tree*)tp;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t p[3] = {pos[i * 3], pos[i * 3 + 1], pos[i * 3 + 2]};
+        out[i] = get_packed(*t, p);
+    }
+}
+
 uint32_t edit_tree_get(void* tp, int64_t x, int64_t y, int64_t z) {
     Tree* t = (Tree*)tp;
     const int64_t pos[3] = {x, y, z};

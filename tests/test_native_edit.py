@@ -220,3 +220,47 @@ def test_from_boxtree_mirror_then_edit():
     for p in pts:
         pp = tuple(int(v) for v in p)
         assert py.get_packed(pp) == nat.get_packed(pp)
+
+
+def test_batch_ops_match_per_op():
+    """Batched native edits produce the identical tree to per-op edits."""
+    rng = np.random.default_rng(44)
+    n = 500
+    pts = rng.integers(0, 64, (n, 3))
+    cols = rng.integers(0, 256, (n, 4)).astype(np.uint8)
+    cols[rng.random(n) < 0.1, 3] = 0  # transparent = no-op inserts
+
+    a = native_edit.NativeEditTree(64, 4)
+    b = native_edit.NativeEditTree(64, 4)
+    a.insert_batch(pts, cols)
+    for p, c in zip(pts, cols):
+        b.insert(tuple(int(v) for v in p), Albedo(*(int(v) for v in c)))
+    assert a.node_count == b.node_count
+    qry = rng.integers(0, 64, (800, 3))
+    got = a.get_packed_batch(qry)
+    for i, p in enumerate(qry):
+        assert int(got[i]) == b.get_packed(tuple(int(v) for v in p))
+
+    # clears too
+    cpts = pts[: n // 2]
+    a.clear_batch(cpts)
+    for p in cpts:
+        b.clear(tuple(int(v) for v in p))
+    assert a.node_count == b.node_count
+    got = a.get_packed_batch(qry)
+    for i, p in enumerate(qry):
+        assert int(got[i]) == b.get_packed(tuple(int(v) for v in p))
+
+
+def test_batch_matches_python_tree():
+    """And the batched native tree still matches the Python tree."""
+    rng = np.random.default_rng(45)
+    pts = rng.integers(0, 64, (400, 3))
+    cols = rng.integers(1, 256, (400, 4)).astype(np.uint8)
+    cols[:, 3] = 255
+    nat = native_edit.NativeEditTree(64, 4)
+    nat.insert_batch(pts, cols)
+    py = BoxTree(64, 4)
+    for p, c in zip(pts, cols):
+        py.insert(tuple(int(v) for v in p), Albedo(*(int(v) for v in c)))
+    _walk_compare(py, nat)
