@@ -264,3 +264,35 @@ def test_batch_matches_python_tree():
     for p, c in zip(pts, cols):
         py.insert(tuple(int(v) for v in p), Albedo(*(int(v) for v in c)))
     _walk_compare(py, nat)
+
+
+def test_differential_with_user_data_entries():
+    """Informative/Complex voxels (user-data palette) stay in lockstep:
+    packed values carry a data index and emptiness consults the data table."""
+    from voxelhex_tpu.tree.boxtree import Entry
+
+    rng = np.random.default_rng(77)
+    py = BoxTree(16, 4)
+    nat = native_edit.NativeEditTree(16, 4)
+    for i in range(200):
+        p = tuple(int(v) for v in rng.integers(0, 16, 3))
+        r = rng.random()
+        if r < 0.3:
+            e = Entry(albedo=_random_entry(rng), data=int(rng.integers(1, 50)))
+        elif r < 0.6:
+            e = Entry(data=int(rng.integers(1, 50)))  # informative only
+        elif r < 0.8:
+            e = Entry(albedo=_random_entry(rng))
+        else:
+            py.clear(p)
+            nat.clear(p)
+            continue
+        py.insert(p, e)
+        nat.insert(p, e)
+    np.testing.assert_array_equal(_dense(py, 16), _dense(nat, 16))
+    _walk_compare(py, nat)
+    # entries round-trip identically (same palettes)
+    for _ in range(50):
+        p = tuple(int(v) for v in rng.integers(0, 16, 3))
+        a, b = py.get(p), nat.get(p)
+        assert a.albedo == b.albedo and a.data == b.data, p
