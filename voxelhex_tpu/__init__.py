@@ -52,6 +52,10 @@ def __getattr__(name):
         from voxelhex_tpu.io import checkpoint
 
         return getattr(checkpoint, name)
+    if name == "bencode":
+        import importlib
+
+        return importlib.import_module("voxelhex_tpu.io.bencode")
     if name == "NativeEditTree":
         from voxelhex_tpu.tree.native_edit import NativeEditTree
 
@@ -75,6 +79,7 @@ __all__ = [
     "Albedo",
     "BOX_NODE_CHILDREN_COUNT",
     "BOX_NODE_DIMENSION",
+    "bencode",
     "BoxTree",
     "Camera",
     "EMPTY_U16",
