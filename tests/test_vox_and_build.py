@@ -90,6 +90,26 @@ def test_parse_navigate_vox():
     assert colors.shape[1] == 4
 
 
+def test_load_vox_with_mip_strategy():
+    # strategy-configured load (reference: MIPMapStrategy::load_vox_file,
+    # src/convert/magicavoxel.rs:206-231): the strategy lands on the tree
+    # and, when enabled, MIP bricks exist after load
+    from voxelhex_tpu.tree.mipmap import BOX_FILTER, MIPStrategy
+
+    strat = MIPStrategy(enabled=True).set_method(1, BOX_FILTER).set_similarity(2, 0.2)
+    tree = load_vox_tree(NAVIGATE, brick_dim=8, mip_strategy=strat)
+    assert tree.mip_strategy is strat
+    assert tree.mip_strategy.method_at(1) == (BOX_FILTER, None)
+    root = tree.node(tree.ROOT)
+    assert root.mip is not None  # MIPs built during load
+
+    # disabled strategy: installed but no MIP build
+    off = MIPStrategy(enabled=False)
+    tree2 = load_vox_tree(NAVIGATE, brick_dim=8, mip_strategy=off)
+    assert tree2.mip_strategy is off
+    assert tree2.node(tree2.ROOT).mip is None
+
+
 def test_load_navigate_tree_and_trace():
     tree = load_vox_tree(NAVIGATE, brick_dim=8)
     flat = flatten(tree)

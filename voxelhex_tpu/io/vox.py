@@ -258,14 +258,29 @@ def tree_size_for(extent: int, brick_dim: int) -> int:
     return brick_dim * 4**k
 
 
-def load_vox_tree(path, brick_dim: int = 32, frame: int = 0, simplify: bool = True):
-    """Load a .vox file into a BoxTree via the bulk builder."""
+def load_vox_tree(path, brick_dim: int = 32, frame: int = 0, simplify: bool = True,
+                  mip_strategy=None):
+    """Load a .vox file into a BoxTree via the bulk builder.
+
+    ``mip_strategy``: an optional :class:`voxelhex_tpu.tree.mipmap.MIPStrategy`
+    installed on the tree before returning; when its ``enabled`` flag is set
+    the MIP bricks are built with the strategy's per-level resampling methods
+    and color-matching thresholds (the reference's strategy-configured load,
+    ``MIPMapStrategy::load_vox_file`` src/convert/magicavoxel.rs:206-231).
+    """
     from voxelhex_tpu.tree.build import from_voxels
 
     positions, colors = load_vox_scene(path, frame)
     extent = int(positions.max() + 1) if len(positions) else brick_dim * 4
     size = tree_size_for(extent, brick_dim)
-    return from_voxels(positions, colors, size=size, brick_dim=brick_dim, simplify=simplify)
+    tree = from_voxels(positions, colors, size=size, brick_dim=brick_dim, simplify=simplify)
+    if mip_strategy is not None:
+        from voxelhex_tpu.tree.mipmap import recalculate_mips
+
+        tree.mip_strategy = mip_strategy
+        if mip_strategy.enabled:
+            recalculate_mips(tree)
+    return tree
 
 
 def load_vox_tree_cached(path, brick_dim: int = 32, frame: int = 0):

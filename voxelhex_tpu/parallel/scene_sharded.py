@@ -167,6 +167,81 @@ def sharded_scene_render_fn(renderer: BitGridRenderer, mesh: Mesh,
     return jax.jit(fn)
 
 
+def hybrid_render_fn(renderer: BitGridRenderer, mesh: Mesh, octs_per_dev: int,
+                     scene_axis: str = "scene", ray_axis: str = "rays"):
+    """Jitted render over a 2-D mesh: scene octants sharded on ``scene_axis``,
+    rays data-parallel on ``ray_axis`` — HBM capacity and ray throughput
+    scale together.
+
+    Each device holds ``octs_per_dev`` world octants and traces only its ray
+    shard against them (octants combine locally by min hit distance), then
+    one ``pmin``/``psum`` across the scene axis selects the global first hit
+    per ray.  Collectives move O(rays/ray_shards) data and ride ICI; the ray
+    axis needs no communication at all.  A (1, N) mesh degenerates to pure
+    ray DP (:mod:`voxelhex_tpu.parallel.bitgrid_sharded`); an (N, 1) mesh to
+    pure scene sharding (:func:`sharded_scene_render_fn`).
+    """
+    trace = renderer._trace
+
+    def local(tree, omins, o, d, bg):
+        R = o.shape[0]
+        best_t = jnp.full(R, jnp.inf, dtype=F32)
+        best_rgb = jnp.zeros((R, 3), dtype=F32)
+        for k in range(octs_per_dev):
+            k_tree = jax.tree.map(lambda a: a[k], tree)
+            omin = omins[k]
+            o_local = o - omin[None, :]
+            hit, voxel, _hv, hpoint, hnormal = trace(k_tree, o_local, d)
+            t = jnp.where(hit, jnp.linalg.norm(hpoint - o_local, axis=-1), jnp.inf)
+            rgb = _shade(k_tree, hit, voxel, hnormal, jnp.zeros(3, dtype=F32))
+            better = t < best_t  # strict: first octant wins exact-edge ties
+            best_rgb = jnp.where(better[:, None], rgb, best_rgb)
+            best_t = jnp.minimum(t, best_t)
+
+        idx = jax.lax.axis_index(scene_axis).astype(I32)
+        tmin = jax.lax.pmin(best_t, scene_axis)
+        big = jnp.iinfo(jnp.int32).max
+        hit_any = jnp.isfinite(best_t)
+        cand = jnp.where(hit_any & (best_t <= tmin), idx, big)
+        sel = jax.lax.pmin(cand, scene_axis)  # winning device (big = miss)
+        mine = (sel == idx)[:, None]
+        rgb_out = jax.lax.psum(jnp.where(mine, best_rgb, 0.0), scene_axis)
+        return jnp.where((sel == big)[:, None], bg[None, :], rgb_out)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(scene_axis), P(scene_axis), P(ray_axis), P(ray_axis), P()),
+        out_specs=P(ray_axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def render_hybrid(source, camera, mesh: Mesh, bg=(0.0, 0.0, 0.0),
+                  n_per_axis: int = 2, scene_axis: str = "scene",
+                  ray_axis: str = "rays"):
+    """Convenience one-shot over a 2-D (scene, rays) mesh: build octant
+    grids, shard scene + rays, render a frame."""
+    from voxelhex_tpu.render.camera import device_rays
+
+    stacked, mins, renderer = build_octant_grids(source, n_per_axis)
+    n_scene = mesh.shape[scene_axis]
+    n_rays = mesh.shape[ray_axis]
+    n_oct = n_per_axis**3
+    assert n_oct % n_scene == 0, (n_oct, n_scene)
+    fn = hybrid_render_fn(renderer, mesh, n_oct // n_scene, scene_axis, ray_axis)
+    o, d = device_rays(camera)
+    R = o.shape[0]
+    pad = (-R) % n_rays
+    if pad:  # pad with copies of the last ray (zero-direction rays are UB)
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))])
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))])
+    rgb = fn(stacked, mins, o, d, jnp.asarray(bg, dtype=F32))[:R]
+    w, h = camera.resolution
+    return np.asarray(rgb).reshape(h, w, 3)
+
+
 def render_scene_sharded(source, camera, mesh: Mesh, bg=(0.0, 0.0, 0.0),
                          n_per_axis: int = 2):
     """Convenience one-shot: build octant grids, shard them, render a frame."""
