@@ -255,3 +255,65 @@ def test_splat_prepass_exact():
         a3 = r.render(cam3, compact=True)
         b3 = r.render(cam3, compact=True, splat_prepass=True)
         np.testing.assert_array_equal(a3, b3), k
+
+
+def test_planned_schedule_matches_adaptive():
+    """Frame 2+ replays frame 1's compaction schedule with no mid-frame
+    host syncs (auto_plan); results are bit-exact vs the adaptive loop."""
+    tree = make_scene(64, 4)
+    r = BitGridRenderer(tree, auto_plan=True)
+    r_ref = BitGridRenderer(tree)
+    cam = orbit_camera(64.0, resolution=(64, 48))
+    ref = r_ref.render(cam)
+    first = r.render(cam)  # adaptive (no plan recorded yet)
+    assert not r.last_stats["planned"]
+    second = r.render(cam)  # replays the recorded plan
+    assert r.last_stats["planned"]
+    assert any(rd.get("planned") for rd in r.last_stats["rounds"])
+    np.testing.assert_array_equal(first, ref)
+    np.testing.assert_array_equal(second, ref)
+
+
+def test_planned_schedule_overflow_falls_back():
+    """A plan whose bucket is too small for this frame's stragglers would
+    drop rays — the overflow is detected and the frame re-traced
+    adaptively."""
+    tree = make_scene(64, 4)
+    r = BitGridRenderer(tree)
+    rng = np.random.default_rng(3)
+    n = 3000
+    targets = rng.random((n, 3)) * 64
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (targets - dirs * 200).astype(np.float32)
+    dirs = dirs.astype(np.float32)
+    ref = r.trace_compacted(origins, dirs, min_bucket=256)
+    # sabotage: a plan that compacts everything into a 4-ray bucket after
+    # a single iteration — guaranteed overflow
+    bad_plan = [(1, 4), (56, None)]
+    out = r.trace_compacted(origins, dirs, min_bucket=256, plan=bad_plan)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert not r.last_stats["planned"]  # the retrace was adaptive
+
+
+def test_plan_from_rounds_shapes():
+    from voxelhex_tpu.render.bitgrid import plan_from_rounds
+
+    rounds = [
+        {"bucket": 4096, "iters": 14, "n_active": 900},
+        {"bucket": 1024, "iters": 56, "n_active": 0},
+    ]
+    # default: replay the adaptive ladder (900 actives -> 1024 bucket)
+    plan = plan_from_rounds(rounds, shrink=4, min_bucket=256)
+    assert plan == [(14, 1024), (56, None)]
+    # margin > 1: a 88%-full bucket gets one ladder step of headroom
+    plan_m = plan_from_rounds(rounds, shrink=4, min_bucket=256, margin=1.15)
+    assert plan_m == [(14, None), (56, None)]
+    # fewer actives than min_bucket: still clamps at min_bucket's step
+    rounds2 = [
+        {"bucket": 4096, "iters": 14, "n_active": 100},
+        {"bucket": 256, "iters": 56, "n_active": 0},
+    ]
+    plan2 = plan_from_rounds(rounds2, shrink=4, min_bucket=256)
+    assert plan2 == [(14, 256), (56, None)]

@@ -348,6 +348,39 @@ def device_bitgrid(bg: BitGrid) -> dict:
     return out
 
 
+def plan_from_rounds(rounds, shrink: int = 4, min_bucket: int = 8192,
+                     margin: float = 1.0):
+    """Derive a fixed (iters, compact-to-bucket) schedule from a previous
+    frame's per-round stats.  ``bucket=None`` means "no compaction after
+    this round".  Buckets stay on the same shrink-ladder as the adaptive
+    loop so every shape is already in the compile cache.  Bucket sizes
+    affect only CAPACITY (overflow is detected and falls back), never ray
+    results, so a plan built from one frame is safe to replay on the next.
+
+    ``margin`` > 1 bumps a bucket one ladder step when the observed count
+    fills more than 1/margin of it; the default replays the adaptive
+    ladder exactly (a 4x-larger bucket costs 4x tail-round work every
+    frame, whereas an occasional overflow costs one adaptive retrace)."""
+    if not rounds:
+        return None
+    plan = []
+    cur = rounds[0]["bucket"]
+    for r in rounds:
+        n_act = r["n_active"]
+        if n_act == 0:
+            plan.append((r["iters"], None))
+            return plan
+        target = max(n_act, min_bucket)
+        bucket = cur
+        while bucket // shrink >= target:
+            bucket //= shrink
+        if bucket < margin * n_act:  # too tight: one ladder step of headroom
+            bucket = min(bucket * shrink, cur)
+        plan.append((r["iters"], bucket if bucket < cur else None))
+        cur = min(bucket, cur)
+    return plan  # previous frame ended with actives (max_iters); replay + adapt
+
+
 def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4,
                         lod_scale: float = 0.0, lateral_step: bool = True,
                         parent_skip: bool = False, advance_substeps: int = 2):
@@ -679,8 +712,18 @@ class BitGridRenderer:
         lateral_step: bool = True,
         parent_skip: bool = False,
         advance_substeps: int = 4,
+        auto_plan: bool = False,
     ):
         self.prepass_levels = prepass_levels
+        # auto_plan: frames after the first replay the previous same-shaped
+        # frame's compaction schedule with no mid-frame host syncs (bit-exact;
+        # overflowed plans fall back to the adaptive loop).  Measured NEUTRAL
+        # on the axon-tunnel TPU (benches/ab_planned.py: 717 vs 707 ms at
+        # 1080p — the adaptive loop's per-round count reads overlap with
+        # already-enqueued work), so off by default; useful on links where
+        # a blocking host round-trip is expensive.
+        self.auto_plan = auto_plan
+        self._plans = {}
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
         self.bitgrid = bg
         self.tree = device_bitgrid(bg)
@@ -1012,12 +1055,21 @@ class BitGridRenderer:
     def trace_compacted(
         self, origins, directions, start_t=None, round_iters: int = 14,
         shrink: int = 4, min_bucket: int = 8192, shade_bg=None,
-        first_round_iters: int | None = None,
+        first_round_iters: int | None = None, plan=None,
     ):
         """Trace with straggler compaction: run fixed-iteration rounds and
         periodically pack the still-active rays into a 1/shrink-size buffer,
         so late iterations don't pay full-frame gather costs.  Each bucket
-        shape compiles once (cached)."""
+        shape compiles once (cached).
+
+        ``plan``: an optional fixed (iters, bucket) schedule (usually the
+        previous frame's, via :func:`plan_from_rounds`) executed WITHOUT
+        per-round host syncs — the adaptive loop blocks on each round's
+        straggler count to size the next bucket, paying one relay round-trip
+        per round; a planned frame enqueues the whole schedule and reads all
+        counts in one batched fetch at the end.  If the frame outgrew its
+        plan (a compaction bucket overflowed, dropping rays) the frame is
+        re-traced adaptively — results are bit-exact either way."""
         import time as _time
 
         fns = self._compact_fns
@@ -1027,13 +1079,66 @@ class BitGridRenderer:
         dv = jnp.asarray(directions, dtype=F32).reshape(-1, 3)
         R = o.shape[0]
         st = None if start_t is None else jnp.asarray(start_t).reshape(-1)
+        plan_key = (R, start_t is not None, round_iters, first_round_iters)
+        if plan is None and self.auto_plan:
+            plan = self._plans.get(plan_key)
         state = fns["init"](self.tree, o, dv, st)
         orig = None  # None => identity mapping (no compaction happened yet)
         hit = hvox = hnormal = hpoint = None
 
         total_iters = 0
         R0 = R
-        while True:
+        done = False
+        if plan:
+            counts = []  # (bucket_during_round, iters, count_dev, next_bucket)
+            cur = R0
+            for iters, bucket in plan:
+                state, n_active_dev = fns["run"](self.tree, state, iters)
+                counts.append((cur, iters, n_active_dev, bucket))
+                total_iters += iters
+                if bucket is not None and bucket < cur:
+                    if orig is None:
+                        hit, hvox, hnormal, hpoint = (
+                            state[11], state[12], state[13], state[0]
+                        )
+                        orig = jnp.arange(cur, dtype=I32)
+                    else:
+                        hit, hvox, hnormal, hpoint = fns["scatter"](
+                            state, orig, hit, hvox, hnormal, hpoint
+                        )
+                    perm = fns["perm"](state[10], bucket)
+                    state, orig = fns["apply_perm"](state, orig, perm)
+                    cur = bucket
+            # the schedule's ONLY blocking read: every straggler count at once
+            counts_h = np.asarray(jnp.stack([c[2] for c in counts]))
+            overflow = False
+            for i, (csize, iters, _c, bucket) in enumerate(counts):
+                n = int(counts_h[i])
+                rounds.append({"bucket": int(csize), "iters": int(iters),
+                               "n_active": n, "seconds": 0.0, "planned": True})
+                if bucket is not None and n > bucket:
+                    overflow = True  # compaction dropped active rays
+            if overflow:
+                # drop the stale schedule so auto_plan can't re-enter it
+                self._plans.pop(plan_key, None)
+                return self.trace_compacted(
+                    origins, directions, start_t=start_t,
+                    round_iters=round_iters, shrink=shrink,
+                    min_bucket=min_bucket, shade_bg=shade_bg,
+                    first_round_iters=first_round_iters,
+                )
+            if int(counts_h[-1]) == 0:
+                if orig is None:
+                    hit, hvox, hnormal, hpoint = (
+                        state[11], state[12], state[13], state[0]
+                    )
+                else:
+                    hit, hvox, hnormal, hpoint = fns["scatter"](
+                        state, orig, hit, hvox, hnormal, hpoint
+                    )
+                done = True
+            # else: stragglers the plan didn't cover — adaptive loop finishes
+        while not done:
             cur = state[0].shape[0]
             # full-size rounds stay short (compaction opportunity); compacted
             # buckets run long rounds to amortize dispatch latency
@@ -1086,7 +1191,12 @@ class BitGridRenderer:
             "total_iters": int(total_iters),
             "rounds": rounds,
             "trace_seconds": round(_time.time() - t_start, 4),
+            "planned": bool(plan),
         }
+        # remember a schedule for the next same-shaped frame (auto_plan)
+        self._plans[plan_key] = plan_from_rounds(
+            rounds, shrink=shrink, min_bucket=min_bucket
+        )
         if shade_bg is not None:
             # fused color + shade: one dispatch for the whole finish
             voxel, rgb = fns["finish"](self.tree, hit, hvox, hnormal, shade_bg)
