@@ -1,6 +1,7 @@
 """Streaming view (out-of-core paging) tests."""
 
 import numpy as np
+import jax.numpy as jnp
 
 from voxelhex_tpu.render.camera import Camera
 from voxelhex_tpu.render.streaming import StreamingView
@@ -227,3 +228,44 @@ def test_async_uploads_survive_window_move():
     np.testing.assert_array_equal(a._occ, b._occ)
     np.testing.assert_array_equal(a._col, b._col)
     a.close()
+
+
+def test_jnp_pack_bits_matches_numpy():
+    """The on-device pyramid packer must produce exactly the host packer's
+    words at every size, including pad-to-one-block shapes."""
+    from voxelhex_tpu.render.bitgrid import _pack_bits
+    from voxelhex_tpu.render.streaming import _jnp_pack_bits
+
+    rng = np.random.default_rng(11)
+    for c in (4, 8, 16, 2, 3):
+        grid = rng.random((c, c, c)) < 0.4
+        lo_np, hi_np, coarse_np = _pack_bits(grid)
+        lo_j, hi_j, coarse_j = _jnp_pack_bits(jnp.asarray(grid))
+        np.testing.assert_array_equal(np.asarray(lo_j), lo_np)
+        np.testing.assert_array_equal(np.asarray(hi_j), hi_np)
+        np.testing.assert_array_equal(np.asarray(coarse_j), coarse_np)
+
+
+def test_device_coarse_rebuild_matches_host():
+    """Rebuilding pyramid levels >= 1 on device equals the host pyramid."""
+    from voxelhex_tpu.render.bitgrid import _pack_bits
+    from voxelhex_tpu.render.streaming import _make_coarse_rebuild
+
+    rng = np.random.default_rng(7)
+    S = 64
+    occ = rng.random((S, S, S)) < 0.1
+    levels_lo, levels_hi = [], []
+    grid = occ
+    while grid.shape[0] > 1:
+        lo, hi, coarse = _pack_bits(grid)
+        levels_lo.append(lo)
+        levels_hi.append(hi)
+        grid = coarse
+    pairs = np.stack(
+        [np.concatenate(levels_lo), np.concatenate(levels_hi)], axis=1
+    ).astype(np.uint32)
+    # zero the coarse levels and let the device derive them from level 0
+    broken = pairs.copy()
+    broken[len(levels_lo[0]):] = 0
+    fixed = np.asarray(_make_coarse_rebuild(S)(jnp.asarray(broken)))
+    np.testing.assert_array_equal(fixed, pairs)

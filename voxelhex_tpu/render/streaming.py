@@ -39,6 +39,97 @@ from voxelhex_tpu.tree.boxtree import BoxTree
 REGION = 16  # voxels per paged region edge (one region = 4^2 blocks)
 
 
+def _make_region_scatter(S: int):
+    """Jitted region scatter with DEVICE-computed addresses.
+
+    The wire format per paged region is 12 bytes of corner + the payload
+    (colors u16[REGION^3], level-0 word pairs u32[n^3, 2]); the voxel/block
+    addresses are arithmetic functions of the corner, so shipping host-built
+    int64 index arrays (4x the payload size — the old delta path's dominant
+    transfer) is pure waste on a ~30 MB/s link."""
+    import jax
+    import jax.numpy as jnp
+
+    nb = S // 4
+    n = REGION // 4
+
+    @jax.jit
+    def scatter(colors, occ_pairs, corners, col_vals, blk_vals):
+        K = corners.shape[0]
+        r = jnp.arange(REGION, dtype=jnp.int32)
+        # colors: host rows are sub_col[x, y, z].ravel() (z fastest)
+        x = corners[:, 0, None, None, None] + r[None, :, None, None]
+        y = corners[:, 1, None, None, None] + r[None, None, :, None]
+        z = corners[:, 2, None, None, None] + r[None, None, None, :]
+        addr = (x + y * S + z * S * S).reshape(-1)
+        colors = colors.at[addr].set(col_vals.reshape(-1))
+        # level-0 words: host rows are _pack_bits flat (bx fastest)
+        b = jnp.arange(n, dtype=jnp.int32)
+        bx = corners[:, 0, None, None, None] // 4 + b[None, None, None, :]
+        by = corners[:, 1, None, None, None] // 4 + b[None, None, :, None]
+        bz = corners[:, 2, None, None, None] // 4 + b[None, :, None, None]
+        baddr = (bx + by * nb + bz * nb * nb).reshape(-1)
+        occ_pairs = occ_pairs.at[baddr].set(blk_vals.reshape(K * n**3, 2))
+        return colors, occ_pairs
+
+    return scatter
+
+
+def _jnp_pack_bits(grid_xyz):
+    """Device analog of :func:`voxelhex_tpu.render.bitgrid._pack_bits`:
+    bool [c,c,c] (x,y,z) -> ((lo, hi) u32 flat x-fastest, coarse [x,y,z])."""
+    import jax.numpy as jnp
+
+    c = grid_xyz.shape[0]
+    if c % 4 != 0:
+        t = ((c + 3) // 4) * 4
+        grid_xyz = jnp.pad(
+            grid_xyz, [(0, t - c)] * 3, constant_values=False
+        )
+        c = t
+    n = c // 4
+    g = grid_xyz.reshape(n, 4, n, 4, n, 4)  # [bx, x, by, y, bz, z]
+    g = g.transpose(0, 2, 4, 5, 3, 1)  # [bx, by, bz, z, y, x]
+    bits = g.reshape(n, n, n, 64).astype(jnp.uint32)
+    sh = jnp.arange(32, dtype=jnp.uint32)
+    lo = (bits[..., :32] << sh).sum(-1, dtype=jnp.uint32)
+    hi = (bits[..., 32:] << sh).sum(-1, dtype=jnp.uint32)
+    flat_lo = lo.transpose(2, 1, 0).reshape(-1)  # x fastest
+    flat_hi = hi.transpose(2, 1, 0).reshape(-1)
+    coarse = bits.any(-1)  # [bx, by, bz] == [x, y, z] at block granularity
+    return flat_lo, flat_hi, coarse
+
+
+def _make_coarse_rebuild(S: int):
+    """Jitted rebuild of pyramid levels >= 1 from the level-0 words ON
+    DEVICE (the coarse levels are a pure reduction of level 0; re-uploading
+    them from the host costs tens of KB per delta update for nothing)."""
+    import jax
+    import jax.numpy as jnp
+
+    nb = S // 4
+
+    @jax.jit
+    def rebuild(occ_pairs):
+        occ = (occ_pairs[: nb**3, 0] | occ_pairs[: nb**3, 1]) != 0
+        # flat x-fastest -> [z, y, x] -> [x, y, z]
+        grid = occ.reshape(nb, nb, nb).transpose(2, 1, 0)
+        out = occ_pairs
+        base = nb**3
+        c = nb
+        while c > 1:
+            lo, hi, coarse = _jnp_pack_bits(grid)
+            out = out.at[base : base + lo.shape[0]].set(
+                jnp.stack([lo, hi], axis=1)
+            )
+            base += lo.shape[0]
+            grid = coarse
+            c = grid.shape[0]
+        return out
+
+    return rebuild
+
+
 class StreamingView:
     """A camera-following resident window over a (possibly huge) host tree."""
 
@@ -448,8 +539,14 @@ class StreamingView:
 
     def _update_device_partial(self, regions):
         """Scatter the changed regions' colors and level-0 occupancy words
-        into the resident device arrays, then refresh the (tiny) coarse
-        levels wholesale."""
+        into the resident device arrays.
+
+        The wire format is corner + payload only: voxel/block addresses are
+        computed ON DEVICE from each region's 12-byte corner
+        (:func:`_make_region_scatter`), and pyramid levels >= 1 are reduced
+        from level 0 on device (:func:`_make_coarse_rebuild`) — the old path
+        shipped host-built int64 index arrays (4x the payload) plus the
+        coarse words, ~5x the bytes over the host link for the same update."""
         import jax.numpy as jnp
 
         from voxelhex_tpu.render.bitgrid import _pack_bits
@@ -458,6 +555,7 @@ class StreamingView:
         bg = self.renderer.bitgrid
         tree_dev = self.renderer.tree
         nb = S // 4
+        n = REGION // 4
 
         # pad the batch to a power-of-2 count (repeat the first region —
         # scattering identical values twice is idempotent) so the device
@@ -468,42 +566,33 @@ class StreamingView:
             target *= 2
         regions = list(regions) + [regions[0]] * (target - len(regions))
 
-        col_idx = []
-        col_val = []
-        blk_idx = []
-        blk_val = []
-        for region in regions:
+        corners = np.zeros((len(regions), 3), dtype=np.int32)
+        col_rows = np.zeros((len(regions), REGION**3), dtype=np.uint16)
+        blk_rows = np.zeros((len(regions), n**3, 2), dtype=np.uint32)
+        for i, region in enumerate(regions):
             x0, y0, z0 = (int(c) * REGION for c in region)
+            corners[i] = (x0, y0, z0)
             sub_occ = self._occ[x0 : x0 + REGION, y0 : y0 + REGION, z0 : z0 + REGION]
             sub_col = self._col[x0 : x0 + REGION, y0 : y0 + REGION, z0 : z0 + REGION]
-            # flat color addresses (x fastest)
-            xs = np.arange(x0, x0 + REGION)
-            ys = np.arange(y0, y0 + REGION)
-            zs = np.arange(z0, z0 + REGION)
-            ax = xs[:, None, None] + ys[None, :, None] * S + zs[None, None, :] * S * S
-            col_idx.append(ax.ravel())
-            col_val.append(sub_col.ravel())
-            # level-0 word pairs of the region's 4^3 blocks
-            lo, hi, coarse = _pack_bits(sub_occ)
-            n = REGION // 4
+            col_rows[i] = sub_col.ravel()
+            lo, hi, _coarse = _pack_bits(sub_occ)
+            blk_rows[i, :, 0] = lo
+            blk_rows[i, :, 1] = hi
+            # host mirrors (numpy only — never transferred)
             bx = np.arange(x0 // 4, x0 // 4 + n)
             by = np.arange(y0 // 4, y0 // 4 + n)
             bz = np.arange(z0 // 4, z0 // 4 + n)
             ab = bx[:, None, None] + by[None, :, None] * nb + bz[None, None, :] * nb * nb
             # _pack_bits flattens x-fastest: order (bz, by, bx) -> transpose
-            blk_idx.append(ab.transpose(2, 1, 0).ravel())
-            blk_val.append(np.stack([lo, hi], axis=1))
-            # update the host pyramid mirror for level 0
             bg.occ_lo[ab.transpose(2, 1, 0).ravel()] = lo
             bg.occ_hi[ab.transpose(2, 1, 0).ravel()] = hi
+            xs = np.arange(x0, x0 + REGION)
+            ys = np.arange(y0, y0 + REGION)
+            zs = np.arange(z0, z0 + REGION)
+            ax = xs[:, None, None] + ys[None, :, None] * S + zs[None, None, :] * S * S
+            bg.colors[ax.ravel()] = col_rows[i]
 
-        col_idx = np.concatenate(col_idx)
-        col_val = np.concatenate(col_val)
-        blk_idx = np.concatenate(blk_idx)
-        blk_val = np.concatenate(blk_val)
-        bg.colors[col_idx] = col_val
-
-        # rebuild the coarse levels (tiny) from the level-0 coarse map
+        # rebuild the coarse host mirror levels from the level-0 coarse map
         n0 = nb
         coarse0 = (
             (bg.occ_lo[: n0**3] | bg.occ_hi[: n0**3]) != 0
@@ -534,21 +623,20 @@ class StreamingView:
             tree_dev["palette"] = jnp.asarray(bg.palette)
             self._dev_palette_count = n_colors
 
-        # device updates: colors scatter, level-0 pairs scatter, coarse block
-        occ_pairs = tree_dev["occ_pairs"]
-        occ_pairs = occ_pairs.at[jnp.asarray(blk_idx)].set(
-            jnp.asarray(blk_val.astype(np.uint32))
+        # device updates: one corner+payload transfer, addresses and coarse
+        # levels derived on device
+        if getattr(self, "_scatter_fns", None) is None or self._scatter_S != S:
+            self._scatter_fns = (_make_region_scatter(S), _make_coarse_rebuild(S))
+            self._scatter_S = S
+        scatter, coarse_rebuild = self._scatter_fns
+        colors_d, occ_pairs = scatter(
+            tree_dev["colors"], tree_dev["occ_pairs"],
+            jnp.asarray(corners), jnp.asarray(col_rows), jnp.asarray(blk_rows),
         )
-        base1 = n0**3
-        coarse_pairs = np.stack(
-            [bg.occ_lo[base1:], bg.occ_hi[base1:]], axis=1
-        ).astype(np.uint32)
-        occ_pairs = occ_pairs.at[base1:].set(jnp.asarray(coarse_pairs))
+        occ_pairs = coarse_rebuild(occ_pairs)
         tree_dev["occ_pairs"] = occ_pairs
         self._refresh_quads(tree_dev)
-        tree_dev["colors"] = tree_dev["colors"].at[jnp.asarray(col_idx)].set(
-            jnp.asarray(col_val)
-        )
+        tree_dev["colors"] = colors_d
 
     def _refresh_quads(self, tree_dev):
         """Re-derive the tracer's quad rows (pair + parent pair) on device
