@@ -269,3 +269,31 @@ def test_device_coarse_rebuild_matches_host():
     broken[len(levels_lo[0]):] = 0
     fixed = np.asarray(_make_coarse_rebuild(S)(jnp.asarray(broken)))
     np.testing.assert_array_equal(fixed, pairs)
+
+
+def test_delta_upload_u16_fallback_large_palette():
+    """Palettes over 254 colors exceed the u8 wire's range: the delta path
+    must fall back to the u16 wire and stay identical to a full rebuild."""
+    tree = BoxTree(256, 4, auto_simplify=False)
+    # intern >254 distinct colors up front
+    i = 0
+    for r in range(16):
+        for g in range(17):
+            tree.insert((r, g, 1), Albedo(50 + r * 10 % 200, 30 + g * 9 % 200,
+                                          (r * 17 + g) % 255, 255))
+            i += 1
+    assert len(tree.color_palette) > 254
+    view = StreamingView(tree, view_size=64, regions_per_update=4096)
+    cam = Camera(
+        origin=np.array([8.0, 8.0, -30.0]),
+        target=np.array([8.0, 8.0, 1.0]),
+        resolution=(32, 32),
+        fov_y_deg=30.0,
+    )
+    view.render(cam)  # full build
+    tree.insert((8, 8, 1), Albedo(1, 2, 3, 255))  # delta path edit
+    assert 0 < len(view._dirty) <= 8
+    img_delta = view.render(cam)
+    view._mark_window_dirty()
+    img_full = view.render(cam)
+    np.testing.assert_allclose(img_delta, img_full, atol=1e-6)

@@ -62,7 +62,18 @@ def _make_region_scatter(S: int):
         y = corners[:, 1, None, None, None] + r[None, None, :, None]
         z = corners[:, 2, None, None, None] + r[None, None, None, :]
         addr = (x + y * S + z * S * S).reshape(-1)
-        colors = colors.at[addr].set(col_vals.reshape(-1))
+        v = col_vals.reshape(-1)
+        if v.dtype == jnp.uint8:
+            # u8 wire (palette <= 254): sentinels 255/254 widen to the
+            # u16 sentinels on device — colors ship at half the bytes
+            v16 = jnp.where(
+                v == 255,
+                jnp.uint16(0xFFFF),
+                jnp.where(v == 254, jnp.uint16(0xFFFE), v.astype(jnp.uint16)),
+            )
+        else:
+            v16 = v
+        colors = colors.at[addr].set(v16)
         # level-0 words: host rows are _pack_bits flat (bx fastest)
         b = jnp.arange(n, dtype=jnp.int32)
         bx = corners[:, 0, None, None, None] // 4 + b[None, None, None, :]
@@ -629,9 +640,17 @@ class StreamingView:
             self._scatter_fns = (_make_region_scatter(S), _make_coarse_rebuild(S))
             self._scatter_S = S
         scatter, coarse_rebuild = self._scatter_fns
+        if n_colors <= 254:
+            # u8 color wire: indices fit a byte; sentinels remap to 255/254
+            wire_cols = np.where(
+                col_rows == 0xFFFF, 255,
+                np.where(col_rows == 0xFFFE, 254, col_rows),
+            ).astype(np.uint8)
+        else:
+            wire_cols = col_rows
         colors_d, occ_pairs = scatter(
             tree_dev["colors"], tree_dev["occ_pairs"],
-            jnp.asarray(corners), jnp.asarray(col_rows), jnp.asarray(blk_rows),
+            jnp.asarray(corners), jnp.asarray(wire_cols), jnp.asarray(blk_rows),
         )
         occ_pairs = coarse_rebuild(occ_pairs)
         tree_dev["occ_pairs"] = occ_pairs
