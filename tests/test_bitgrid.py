@@ -317,3 +317,36 @@ def test_plan_from_rounds_shapes():
     ]
     plan2 = plan_from_rounds(rounds2, shrink=4, min_bucket=256)
     assert plan2 == [(14, 256), (56, None)]
+
+
+def test_color_u8_grid_bit_exact():
+    """The u8 device color grid (palette <= 254: halved color HBM) renders
+    bit-for-bit like the u16 grid; oversized palettes silently keep u16."""
+    tree = BoxTree(64, 4, auto_simplify=False)
+    rng = np.random.default_rng(9)
+    for _ in range(300):
+        p = tuple(int(v) for v in rng.integers(0, 64, 3))
+        tree.insert(p, Albedo(int(rng.integers(30, 250)), 90, 120, 255))
+    from voxelhex_tpu.tree.boxtree import Entry
+
+    tree.insert((1, 1, 1), Entry(data=5))  # colorless voxel -> 254 sentinel
+    r16 = BitGridRenderer(tree)
+    r8 = BitGridRenderer(tree, color_u8=True)
+    assert np.asarray(r8.tree["colors"]).dtype == np.uint8
+    assert np.asarray(r16.tree["colors"]).dtype == np.uint16
+    cam = orbit_camera(64.0, resolution=(48, 32))
+    np.testing.assert_array_equal(r8.render(cam), r16.render(cam))
+    # colorless + user-data resolution still works through the u8 grid
+    o = np.array([[1.5, 1.5, -3.0]], dtype=np.float32)
+    d = np.array([[0.0, 0.0, 1.0]], dtype=np.float32)
+    hit, voxel, hvox, _, _ = r8.trace(o, d)
+    assert bool(np.asarray(hit)[0]) and int(np.asarray(voxel)[0]) == 0x3FFFFFFE
+
+    # >254 palette entries: falls back to u16
+    big = BoxTree(64, 4, auto_simplify=False)
+    for r in range(16):
+        for g in range(17):
+            big.insert((r, g, 1), Albedo(50 + r * 10 % 200, 30 + g * 9 % 200,
+                                         (r * 17 + g) % 255, 255))
+    rbig = BitGridRenderer(big, color_u8=True)
+    assert np.asarray(rbig.tree["colors"]).dtype == np.uint16

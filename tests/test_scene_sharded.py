@@ -122,3 +122,26 @@ def test_hybrid_mesh_ray_padding_and_inside_camera():
     single = BitGridRenderer(flat)
     rgb_single = single.render(cam, compact=False)
     np.testing.assert_allclose(rgb_hybrid, rgb_single, atol=1e-5)
+
+
+def test_scene_sharded_u8_colors_match_replicated():
+    """Small palettes store octant colors as u8 on device (halved HBM);
+    renders must still match the replicated u16 renderer exactly."""
+    from voxelhex_tpu.parallel.scene_sharded import build_octant_grids
+
+    tree = BoxTree(64, 4, auto_simplify=False)
+    rng = np.random.default_rng(5)
+    cols = [Albedo(200, 40, 40, 255), Albedo(40, 200, 40, 255),
+            Albedo(40, 40, 200, 255)]
+    for _ in range(700):
+        p = tuple(int(v) for v in rng.integers(0, 64, 3))
+        tree.insert(p, cols[int(rng.integers(0, 3))])
+    flat = flatten(tree)
+    stacked, _mins, _r = build_octant_grids(flat, 2)
+    assert np.asarray(stacked["colors"]).dtype == np.uint8
+
+    mesh = make_ray_mesh(axis_name="scene")
+    cam = orbit_camera(64.0, resolution=(64, 48))
+    rgb_sharded = render_scene_sharded(flat, cam, mesh)
+    rgb_single = BitGridRenderer(flat).render(cam, compact=False)
+    np.testing.assert_allclose(rgb_sharded, rgb_single, atol=1e-5)

@@ -92,6 +92,11 @@ def build_octant_grids(source, n_per_axis: int = 2):
     palette = np.zeros((n_rows, 4), dtype=np.float32)
     palette[:len(flat.palette)] = np.asarray(flat.palette, dtype=np.float32)
 
+    # u8 device color grids when the palette fits a byte: halves the color
+    # HBM per octant — the dominant per-voxel cost for resident vast scenes.
+    # One global decision so every octant's arrays share a dtype (stacking).
+    use_u8 = len(flat.palette) <= 254
+
     trees = []
     mins = []
     renderer = None
@@ -120,8 +125,8 @@ def build_octant_grids(source, n_per_axis: int = 2):
                     palette=palette,
                 )
                 if renderer is None:
-                    renderer = BitGridRenderer(bg)
-                trees.append(device_bitgrid(bg))
+                    renderer = BitGridRenderer(bg, color_u8=use_u8)
+                trees.append(device_bitgrid(bg, color_u8=use_u8))
                 mins.append(origin)
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)

@@ -325,7 +325,7 @@ def quads_from_pairs(pairs, pidx):
 _quads_from_pairs_jit = jax.jit(quads_from_pairs)
 
 
-def device_bitgrid(bg: BitGrid) -> dict:
+def device_bitgrid(bg: BitGrid, color_u8: bool = False) -> dict:
     # occupancy words interleaved as [B, 2] rows: ONE row gather per fetch —
     # measured 4.5x cheaper than two separate gathers on TPU (see PERF.md).
     # The tracer fetches [B, 4] quad rows (pair + parent pair — width is
@@ -335,10 +335,21 @@ def device_bitgrid(bg: BitGrid) -> dict:
     pw = occ_pairs[np.maximum(pidx, 0)]
     pw[pidx < 0] = 0xFFFFFFFF
     occ_quads = np.concatenate([occ_pairs, pw], axis=1)
+    cols = np.asarray(bg.colors)
+    if color_u8:
+        # halve color HBM when every palette index fits a byte (sentinels
+        # 0xFFFF/0xFFFE remap to 255/254; the tracer's resolve_color reads
+        # the dtype).  Falls back silently when the palette is too large —
+        # the capacity lever for vast resident/sharded scenes.
+        real = cols[cols < COLOR_NONE]
+        if real.size == 0 or int(real.max()) <= 253:
+            cols = np.where(
+                cols == COLOR_EMPTY, 255, np.where(cols == COLOR_NONE, 254, cols)
+            ).astype(np.uint8)
     out = {
         "occ_pairs": jnp.asarray(occ_pairs, dtype=U32),
         "occ_quads": jnp.asarray(occ_quads, dtype=U32),
-        "colors": jnp.asarray(bg.colors, dtype=jnp.uint16),
+        "colors": jnp.asarray(cols),
         "palette": jnp.asarray(bg.palette, dtype=F32),
         "size": jnp.asarray(float(bg.size), dtype=F32),
     }
@@ -654,9 +665,12 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
     def resolve_color(tree, hit, hvox):
         v = jnp.clip(hvox, 0, Si - 1)
         caddr = v[:, 0] + v[:, 1] * Si + v[:, 2] * Si * Si
-        cidx = tree["colors"][caddr].astype(I32)
+        cvals = tree["colors"][caddr]
+        # u8 color grids use 255/254 as the empty/colorless sentinels
+        colorless = 254 if cvals.dtype == jnp.uint8 else COLOR_NONE
+        cidx = cvals.astype(I32)
         return jnp.where(
-            hit, jnp.where(cidx >= COLOR_NONE, I32(0x3FFFFFFE), cidx), EMPTY_DESC
+            hit, jnp.where(cidx >= colorless, I32(0x3FFFFFFE), cidx), EMPTY_DESC
         )
 
     def resolve_rgb_lod(tree, hit, hvox, hlev):
@@ -713,8 +727,13 @@ class BitGridRenderer:
         parent_skip: bool = False,
         advance_substeps: int = 4,
         auto_plan: bool = False,
+        color_u8: bool = False,
     ):
         self.prepass_levels = prepass_levels
+        # color_u8: store the device color grid as u8 when the palette fits
+        # a byte — halves color HBM (the capacity bound for vast
+        # resident/sharded scenes); bit-exact via sentinel remap
+        self.color_u8 = color_u8
         # auto_plan: frames after the first replay the previous same-shaped
         # frame's compaction schedule with no mid-frame host syncs (bit-exact;
         # overflowed plans fall back to the adaptive loop).  Measured NEUTRAL
@@ -726,7 +745,7 @@ class BitGridRenderer:
         self._plans = {}
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
         self.bitgrid = bg
-        self.tree = device_bitgrid(bg)
+        self.tree = device_bitgrid(bg, color_u8=color_u8)
         self.prepass = prepass
         self._max_iters = max_iters
         self._trace = make_bitgrid_tracer(bg, max_iters=max_iters,
@@ -1029,7 +1048,7 @@ class BitGridRenderer:
         the reference's MIP-brick probes)."""
         if self.bitgrid.mip_rgb is None:
             build_mip_colors(self.bitgrid)
-            self.tree = device_bitgrid(self.bitgrid)
+            self.tree = device_bitgrid(self.bitgrid, color_u8=self.color_u8)
         key = float(lod_scale)
         if key not in self._lod_cache:
             tracer = make_bitgrid_tracer(
