@@ -152,14 +152,38 @@ def _sample_voxel_albedo(tree: BoxTree, pos):
     return _albedo_of_packed(tree, packed)
 
 
+def _palette_array(tree: BoxTree) -> np.ndarray:
+    """Cached int32 [P, 4] mirror of the color palette, grown incrementally
+    in an amortized doubling buffer (interning only appends)."""
+    n = len(tree.color_palette)
+    buf = getattr(tree, "_palette_buf", None)
+    cnt = getattr(tree, "_palette_cnt", 0)
+    if buf is None or cnt > n:
+        buf, cnt = np.zeros((max(64, 2 * n), 4), dtype=np.int32), 0
+    if buf.shape[0] < n:
+        grown = np.zeros((2 * n, 4), dtype=np.int32)
+        grown[:cnt] = buf[:cnt]
+        buf = grown
+    for i in range(cnt, n):
+        c = tree.color_palette[i]
+        buf[i] = (c.r, c.g, c.b, c.a)
+    tree._palette_buf, tree._palette_cnt = buf, n
+    return buf[:n]
+
+
 def _mip_entry_for_color(tree: BoxTree, color: Albedo, level: int) -> int:
     """Reuse a similar palette color within the level threshold, else intern
-    (reference: mipmap.rs:274-308)."""
+    (reference: mipmap.rs:274-308).  First match in palette order, exactly
+    like the reference's linear scan — vectorized over the palette (the
+    per-entry Python scan dominated whole-tree MIP rebuilds)."""
     thr = tree.mip_strategy.similarity_at(level) * 255.0
-    if thr > 0:
-        for idx, existing in enumerate(tree.color_palette):
-            if color.distance_from(existing) < thr:
-                return pix_visual(idx)
+    if thr > 0 and tree.color_palette:
+        pal = _palette_array(tree)
+        c = np.array([color.r, color.g, color.b, color.a], dtype=np.int32)
+        d2 = ((pal - c) ** 2).sum(axis=1)  # exact integer distance^2
+        hits = np.nonzero(d2 < thr * thr)[0]  # sqrt(d2) < thr <=> d2 < thr^2
+        if hits.size:
+            return pix_visual(int(hits[0]))
     return pix_visual(tree._intern_color(color))
 
 
