@@ -200,3 +200,69 @@ def test_candidate_dilation_grows_missing_voxel():
 
     alpha = float(jax.nn.sigmoid(params2["logits"][addr]))
     assert alpha > 0.5, alpha
+
+
+def test_fit_checkpoint_resume_identical(tmp_path):
+    """An interrupted fit resumed from its checkpoint produces exactly the
+    same parameters as an uninterrupted run (checkpoint/resume subsystem)."""
+    tree = BoxTree(16, 4, auto_simplify=False)
+    for x in range(3, 9):
+        for y in range(3, 9):
+            tree.insert((x, y, 10), GREEN)
+    tree.insert((5, 5, 4), RED)
+
+    r = SoftRenderer(tree, max_hits=3)
+    xs, ys = np.meshgrid(np.linspace(3.2, 8.8, 8), np.linspace(3.2, 8.8, 8))
+    origins = np.stack(
+        [xs.ravel(), ys.ravel(), np.full(xs.size, -3.0)], axis=1
+    ).astype(np.float32)
+    dirs = np.tile(np.array([[0, 0, 1.0]], dtype=np.float32), (xs.size, 1))
+    targets = np.tile(np.array([[0.0, 0.8, 0.0]], dtype=np.float32),
+                      (xs.size, 1))
+
+    ref, _ = fit_soft(r, origins, dirs, targets, steps=12, lr=0.1)
+
+    ck = str(tmp_path / "fit.ckpt")
+    # "interrupted" run: stops after 6 steps, checkpointing every 3
+    fit_soft(r, origins, dirs, targets, steps=6, lr=0.1,
+             checkpoint_path=ck, checkpoint_every=3)
+    # resumed run continues from step 6 to 12
+    resumed, losses = fit_soft(r, origins, dirs, targets, steps=12, lr=0.1,
+                               checkpoint_path=ck)
+    assert len(losses) == 6  # only the remaining steps ran
+    np.testing.assert_array_equal(np.asarray(resumed["albedo"]),
+                                  np.asarray(ref["albedo"]))
+    np.testing.assert_array_equal(np.asarray(resumed["logits"]),
+                                  np.asarray(ref["logits"]))
+
+    # a fresh call with a COMPLETE checkpoint is a no-op resume
+    again, losses2 = fit_soft(r, origins, dirs, targets, steps=12, lr=0.1,
+                              checkpoint_path=ck)
+    assert losses2 == []
+    np.testing.assert_array_equal(np.asarray(again["albedo"]),
+                                  np.asarray(ref["albedo"]))
+
+
+def test_train_state_roundtrip_and_validation(tmp_path):
+    import optax
+    import pytest
+
+    from voxelhex_tpu.io.checkpoint import load_train_state, save_train_state
+
+    params = {"albedo": jnp.ones((5, 3)), "logits": jnp.zeros(5)}
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+    p = str(tmp_path / "state.ckpt")
+    save_train_state(p, 7, params, opt_state)
+    step, params2, opt_state2 = load_train_state(p, params, opt_state)
+    assert step == 7
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # mismatched template structure is rejected
+    with pytest.raises(ValueError):
+        load_train_state(p, {"albedo": jnp.ones((5, 3))}, opt_state)
+    # mismatched leaf shape is rejected
+    with pytest.raises(ValueError):
+        load_train_state(p, {"albedo": jnp.ones((4, 3)), "logits": jnp.zeros(5)},
+                         opt_state)

@@ -25,6 +25,8 @@ def fit_albedo(
     lr: float = 0.05,
     params0=None,
     precompute_hits: bool = True,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
 ):
     """Fit per-voxel albedo to target pixels.
 
@@ -32,6 +34,9 @@ def fit_albedo(
     * ``targets`` — [R, 3] target pixel colors
     * ``precompute_hits`` — trace once and train on cached (brick, cell)
       indices (the structure is static; this is the fast path)
+    * ``checkpoint_path`` / ``checkpoint_every`` — save (step, params,
+      optimizer state) periodically; a restarted fit with the same path
+      resumes where it stopped (identical results to an uninterrupted run)
 
     Returns (params, losses).
     """
@@ -42,6 +47,17 @@ def fit_albedo(
     params = diff.init_params() if params0 is None else jnp.asarray(params0)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
+
+    start = 0
+    if checkpoint_path:
+        import os
+
+        from voxelhex_tpu.io.checkpoint import load_train_state, save_train_state
+
+        if os.path.exists(checkpoint_path):
+            start, params, opt_state = load_train_state(
+                checkpoint_path, params, opt_state
+            )
 
     if precompute_hits:
         hit, _voxel, brick, cell, _point, normal = jax.jit(diff.trace_rays)(
@@ -71,7 +87,11 @@ def fit_albedo(
         return params, opt_state, loss
 
     losses = []
-    for _ in range(steps):
+    for i in range(start, steps):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
+        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_train_state(checkpoint_path, i + 1, params, opt_state)
+    if checkpoint_path and start < steps:
+        save_train_state(checkpoint_path, steps, params, opt_state)
     return params, losses

@@ -329,11 +329,18 @@ def fit_soft(
     params0=None,
     opacity_l1: float = 0.0,
     fit_albedo: bool = True,
+    checkpoint_path=None,
+    checkpoint_every: int = 0,
 ):
     """Optimize albedo + occupancy logits against target pixels.
 
     ``opacity_l1`` optionally penalizes total opacity (encourages carving);
     ``fit_albedo=False`` freezes colors so only geometry adapts.
+    ``checkpoint_path`` enables checkpoint/resume: the fit saves
+    (step, params, optimizer state) every ``checkpoint_every`` steps (and at
+    the end), and an interrupted fit restarted with the same path resumes
+    from the last checkpoint with identical results to an uninterrupted run
+    (the SURVEY §5 checkpoint/resume subsystem applied to training).
     Returns (params, losses)."""
     import optax
 
@@ -344,6 +351,17 @@ def fit_soft(
 
     opt = optax.adam(lr)
     opt_state = opt.init(params)
+
+    start = 0
+    if checkpoint_path:
+        import os
+
+        from voxelhex_tpu.io.checkpoint import load_train_state, save_train_state
+
+        if os.path.exists(checkpoint_path):
+            start, params, opt_state = load_train_state(
+                checkpoint_path, params, opt_state
+            )
 
     def loss_fn(p):
         if not fit_albedo:
@@ -365,7 +383,11 @@ def fit_soft(
         return params, opt_state, loss
 
     losses = []
-    for _ in range(steps):
+    for i in range(start, steps):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
+        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_train_state(checkpoint_path, i + 1, params, opt_state)
+    if checkpoint_path and start < steps:
+        save_train_state(checkpoint_path, steps, params, opt_state)
     return params, losses

@@ -305,3 +305,65 @@ def load_tree(path) -> BoxTree:
             node.bricks = brick_of(int(ch[0]))
         tree._nodes[i] = node
     return tree
+
+
+# ---------------------------------------------------------------------------
+# training state (params + optimizer state): checkpoint/resume for fits
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(path, step: int, params, opt_state=None):
+    """Versioned checkpoint of a training step: ``params`` and ``opt_state``
+    are arbitrary pytrees of arrays (e.g. optax states).  Leaves are stored
+    in tree order; loading restores them INTO caller-provided templates, so
+    no pytree structure needs to serialize."""
+    import jax
+
+    leaves_p = jax.tree_util.tree_leaves(params)
+    leaves_o = jax.tree_util.tree_leaves(opt_state) if opt_state is not None else []
+    meta = _meta_dict(
+        "train_state",
+        {"step": int(step), "n_params": len(leaves_p), "n_opt": len(leaves_o)},
+    )
+    arrays = {f"p_{i}": np.asarray(x) for i, x in enumerate(leaves_p)}
+    arrays.update({f"o_{i}": np.asarray(x) for i, x in enumerate(leaves_o)})
+    _write_npz(path, meta, arrays)
+
+
+def load_train_state(path, params_template, opt_state_template=None):
+    """Restore ``(step, params, opt_state)`` from :func:`save_train_state`.
+
+    Templates supply the pytree STRUCTURE (e.g. ``opt.init(params)``); leaf
+    values are replaced by the checkpointed arrays (shape-checked)."""
+    import jax
+
+    meta, arrays = _read_npz(path)
+    if meta.get("kind") != "train_state":
+        raise ValueError(f"not a train_state checkpoint: {meta.get('kind')}")
+    if not version_compatible(meta["version"]):
+        raise ValueError(f"incompatible version {meta['version']}")
+
+    def restore(template, prefix, count):
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        if len(leaves) != count:
+            raise ValueError(
+                f"template has {len(leaves)} leaves, checkpoint has {count}"
+            )
+        new = []
+        for i, leaf in enumerate(leaves):
+            arr = arrays[f"{prefix}_{i}"]
+            if tuple(np.shape(leaf)) != tuple(arr.shape):
+                raise ValueError(
+                    f"leaf {prefix}_{i} shape {arr.shape} != template "
+                    f"{np.shape(leaf)}"
+                )
+            new.append(arr)
+        return jax.tree_util.tree_unflatten(treedef, new)
+
+    params = restore(params_template, "p", meta["n_params"])
+    opt_state = (
+        restore(opt_state_template, "o", meta["n_opt"])
+        if opt_state_template is not None
+        else None
+    )
+    return int(meta["step"]), params, opt_state
