@@ -163,3 +163,21 @@ def test_flatten_carries_mips():
     tree.insert((0, 0, 0), RED)
     flat = flatten(tree)
     assert flat.node_mips[0] != EMPTY_DESC
+
+
+def test_sample_root_mip_hook():
+    """The reference's MIP test hook (mipmap.rs:634): sample the root MIP
+    (sectant >= 64) or a root child's MIP brick by in-brick position."""
+    from voxelhex_tpu.tree.mipmap import MIPStrategy, enable_mips, sample_root_mip
+
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert((0, 0, 0), RED)
+    enable_mips(tree, MIPStrategy(enabled=True))
+
+    # root MIP texel (0,0,0) summarizes the corner voxel
+    e = sample_root_mip(tree, 64, (0, 0, 0))
+    assert e.is_some and e.albedo is not None
+    # empty texel elsewhere
+    assert not sample_root_mip(tree, 64, (3, 3, 3)).is_some
+    # invalid child sectant -> Empty
+    assert not sample_root_mip(tree, 63, (0, 0, 0)).is_some

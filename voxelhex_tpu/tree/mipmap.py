@@ -359,3 +359,26 @@ def recalculate_mips(tree: BoxTree):
         recalculate_mip(tree, key, node_min, node_size)
 
     visit(tree.ROOT, np.zeros(3, dtype=np.float64), float(tree.size))
+
+
+def sample_root_mip(tree: BoxTree, sectant: int, position) -> "Entry":
+    """Sample the root node's MIP brick — or a root child's, when
+    ``sectant`` < 64 — at ``position`` (each component in [0, brick_dim)).
+    The reference's MIP test hook (mipmap.rs:634-668), exposed for test and
+    debugging parity."""
+    from voxelhex_tpu.constants import BOX_NODE_CHILDREN_COUNT
+    from voxelhex_tpu.tree.boxtree import Entry
+
+    if sectant >= BOX_NODE_CHILDREN_COUNT:
+        key = tree.ROOT
+    else:
+        key = tree.node(tree.ROOT).child(sectant)
+    if not tree.key_is_valid(key):
+        return Entry()
+    mip = tree.node(key).mip
+    if mip is None:
+        return Entry()
+    if isinstance(mip, (int, np.integer)):
+        return tree.entry_for(int(mip))
+    x, y, z = (int(c) for c in position)
+    return tree.entry_for(int(mip[flat_projection(x, y, z, tree.brick_dim)]))
