@@ -1,0 +1,86 @@
+"""Same-session A/B: beam prepass at 1080p on the bench scene.
+
+One conservative beam per 8x8 tile over the dilated coarse grid gives every
+ray a head start and kills sky tiles before round 1.  Measures interleaved
+frame times with/without (and with a shortened first round, which the splat
+prepass couldn't afford because sky rays still needed the full march) and
+verifies the u8 frames are identical.
+
+Usage: python benches/ab_beam.py [--frames 4] [--first-iters 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--first-iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, repo)
+    from bench import RES, build_scene
+
+    from voxelhex_tpu.render.bitgrid import BitGridRenderer
+    from voxelhex_tpu.render.camera import orbit_camera
+    from voxelhex_tpu.tree.flat import flatten
+
+    flat = flatten(build_scene())
+    cam = orbit_camera(128.0, resolution=RES)
+    r = BitGridRenderer(flat)
+
+    # warm every mode (compiles + first-touch)
+    base = np.asarray(r.render(cam, out_u8=True))
+    beam = np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
+    assert np.array_equal(base, beam), "beam render must be bit-exact"
+    r.beam_first_iters = args.first_iters
+    beam_s = np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
+    assert np.array_equal(base, beam_s), "short-first-round beam must be bit-exact"
+    start = np.asarray(r.beam_start(cam))
+    print(f"dead tiles: {(start >= 1e8).mean():.1%}  "
+          f"median start: {np.median(start[start < 1e8]):.1f}", flush=True)
+
+    def frame(mode):
+        t0 = time.time()
+        if mode == "off":
+            r.beam_first_iters = None
+            np.asarray(r.render(cam, out_u8=True))
+        elif mode == "beam":
+            r.beam_first_iters = None
+            np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
+        else:
+            r.beam_first_iters = args.first_iters
+            np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
+        dt = time.time() - t0
+        stats = r.last_stats
+        rounds = [(rd["bucket"], rd["iters"], rd["n_active"]) for rd in stats["rounds"]]
+        print(f"{mode:6s}: {dt*1000:7.1f} ms  rounds={rounds}", flush=True)
+        return dt
+
+    results = {"off": [], "beam": [], "beam8": []}
+    for _ in range(args.frames):
+        for mode in ("off", "beam", "beam8"):
+            results[mode].append(frame(mode))
+    for mode, ts in results.items():
+        print(f"{mode:6s}: best {min(ts)*1000:7.1f} ms  "
+              f"avg {np.mean(ts)*1000:7.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -350,3 +350,53 @@ def test_color_u8_grid_bit_exact():
                                          (r * 17 + g) % 255, 255))
     rbig = BitGridRenderer(big, color_u8=True)
     assert np.asarray(rbig.tree["colors"]).dtype == np.uint16
+
+
+# --- Beam prepass: conservative per-tile starts must be bit-exact ---------
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_beam_prepass_bit_exact(seed):
+    """render(beam_prepass=True) must equal the plain render EXACTLY: the
+    beam start is a provable lower bound on every tile ray's first hit, and
+    dead tiles (beam exits the dilated grid cleanly) contain only misses."""
+    tree = make_scene(64, 4, seed=seed)
+    r = BitGridRenderer(tree)
+    for df in (2.2, 0.9):  # outside orbit + camera near/inside the scene
+        cam = orbit_camera(
+            64.0, distance_factor=df, resolution=(160, 120), pitch_deg=20.0
+        )
+        plain = r.render(cam, out_u8=True)
+        beam = r.render(cam, beam_prepass=True, out_u8=True)
+        np.testing.assert_array_equal(beam, plain)
+
+
+def test_beam_prepass_sparse_scene_kills_sky():
+    """A tiny model in a big world: most tiles are dead (start >= 1e8) and
+    hit tiles carry a positive conservative head start."""
+    tree = BoxTree(64, 4, auto_simplify=False)
+    for x in range(28, 36):
+        for y in range(28, 36):
+            for z in range(28, 36):
+                tree.insert((x, y, z), RED)
+    r = BitGridRenderer(tree)
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    start = np.asarray(r.beam_start(cam))
+    assert start is not None and start.shape == (160 * 120,)
+    assert (start >= 1e8).mean() > 0.3  # plenty of provably-dead sky
+    assert (start > 0.0).any()
+    np.testing.assert_array_equal(
+        r.render(cam, beam_prepass=True, out_u8=True), r.render(cam, out_u8=True)
+    )
+
+
+def test_beam_prepass_falls_back_gracefully():
+    """Indivisible resolutions or unsatisfiable bounds return None and the
+    render path silently uses the plain compacted trace."""
+    tree = make_scene(16, 4)
+    r = BitGridRenderer(tree)
+    cam = orbit_camera(16.0, resolution=(100, 75))  # not tile-divisible
+    assert r.beam_start(cam) is None
+    np.testing.assert_array_equal(
+        r.render(cam, beam_prepass=True, out_u8=True), r.render(cam, out_u8=True)
+    )

@@ -284,6 +284,44 @@ def build_bitgrid(source) -> BitGrid:
     )
 
 
+def bitgrid_from_occupancy(occ_xyz: np.ndarray, palette=None) -> BitGrid:
+    """Build a BitGrid pyramid over a raw boolean occupancy grid [x, y, z]
+    (all occupied voxels take palette index 0).  Used for auxiliary grids —
+    e.g. the beam prepass's dilated coarse occupancy — that have no color
+    content of their own."""
+    S = int(occ_xyz.shape[0])
+    levels_lo, levels_hi = [], []
+    grid = occ_xyz
+    while grid.shape[0] > 1:
+        lo, hi, coarse = _pack_bits(grid)
+        levels_lo.append(lo)
+        levels_hi.append(hi)
+        grid = coarse
+    bases = np.zeros(len(levels_lo), dtype=np.int64)
+    for i in range(1, len(levels_lo)):
+        bases[i] = bases[i - 1] + len(levels_lo[i - 1])
+    colors = (
+        np.where(occ_xyz, 0, COLOR_EMPTY)
+        .astype(np.uint16)
+        .transpose(2, 1, 0)
+        .ravel()
+    )
+    pal = (
+        np.asarray(palette, dtype=np.float32)
+        if palette is not None
+        else np.ones((1, 4), dtype=np.float32)
+    )
+    return BitGrid(
+        size=S,
+        n_levels=len(levels_lo),
+        level_bases=bases,
+        occ_lo=np.concatenate(levels_lo),
+        occ_hi=np.concatenate(levels_hi),
+        colors=colors,
+        palette=pal,
+    )
+
+
 def parent_index(bg: BitGrid) -> np.ndarray:
     """int32 [B]: for every pyramid block, the flat index of its PARENT
     block (the level-(l+1) block whose cell it is); -1 for top-level blocks.
@@ -835,6 +873,13 @@ class BitGridRenderer:
         # have no splat and still need the full march, so cutting the round
         # just adds dispatches
         self.splat_first_iters = 14
+        # beam prepass (see the Beam prepass section below): per-tile
+        # conservative starts + dead sky tiles; first-round length when a
+        # beam start is supplied (None = the default round_iters)
+        self.beam_tile = 8
+        self.beam_first_iters = None
+        self._beam_cache = {}
+        self._beam_fns = {}
 
     def _splat_points(self):
         """[N,3] f32 device array of occupied voxel centers (surface voxels
@@ -983,6 +1028,127 @@ class BitGridRenderer:
             jnp.asarray(margin, dtype=F32),
         )
         return start.reshape(-1)
+
+    # ------------------------------------------------------------------
+    # Beam prepass: one conservative ray per pixel tile over a DILATED
+    # coarse occupancy grid.  Every full-res ray in the tile starts at the
+    # beam's first dilated-cell entry (a provable lower bound on the tile's
+    # first hit), and tiles whose beam exits cleanly are dead on arrival —
+    # sky rays finish in ~2 iterations instead of marching the whole world.
+    # Conservativeness: all tile rays stay within distance rho*theta of the
+    # center ray (theta = tile half-diagonal angle; gnomonic projection is
+    # distance-decreasing), so while rho*theta <= one level-L cell, any
+    # voxel hit by a tile ray makes the center ray pass through a
+    # 3^3-dilated occupied cell no farther along.  L is chosen per camera
+    # so the bound holds out to the farthest world corner; beams that can't
+    # finish (iteration cap / restart cap) fall back to start=0.  Results
+    # are bit-exact vs the plain render (tests/test_bitgrid.py).
+    # (The reference's closest analog is the half-res depth prepass,
+    # viewport_render.wgsl:184-203,711-726 — which is NOT conservative and
+    # relies on a reliability cutoff; the beam grid gives exactness and
+    # kills sky tiles outright.)
+    # ------------------------------------------------------------------
+
+    _BEAM_ITERS = 128
+
+    def _beam_level(self, camera, tile):
+        """Smallest pyramid level whose cell size keeps the beam bound valid
+        for this camera; None when no level qualifies."""
+        w, h = camera.resolution
+        S = int(self.bitgrid.size)
+        tan_half = float(np.tan(np.radians(camera.fov_y_deg) / 2.0))
+        tanx = tan_half * w / h
+        theta = tile * float(np.hypot(tanx / w, tan_half / h))
+        o = np.asarray(camera.origin, dtype=np.float64)
+        corners = np.array(
+            [[x, y, z] for x in (0.0, S) for y in (0.0, S) for z in (0.0, S)]
+        )
+        rho_max = float(np.max(np.linalg.norm(corners - o, axis=1)))
+        need = rho_max * theta / 0.9
+        L = 1
+        while 4**L < need:
+            L += 1
+        if S % (4**L) != 0 or S // (4**L) < 4:
+            return None
+        return L
+
+    def _beam_setup(self, L):
+        """(device tree, tracer) over the 3^3-dilated level-L cell grid with
+        a 1-cell border ring (world position x maps to beam coord x/cell+1)."""
+        if L not in self._beam_cache:
+            bg = self.bitgrid
+            S = int(bg.size)
+            c = 4**L
+            m = S // c
+            occ = (np.asarray(bg.colors) != COLOR_EMPTY).reshape(S, S, S)
+            occ = occ.transpose(2, 1, 0)  # -> [x, y, z]
+            cells = occ.reshape(m, c, m, c, m, c).any(axis=(1, 3, 5))
+            g = np.zeros((m + 4, m + 4, m + 4), dtype=bool)
+            g[2 : m + 2, 2 : m + 2, 2 : m + 2] = cells
+            dil = np.zeros((m + 2, m + 2, m + 2), dtype=bool)
+            for dx in range(3):
+                for dy in range(3):
+                    for dz in range(3):
+                        dil |= g[dx : dx + m + 2, dy : dy + m + 2, dz : dz + m + 2]
+            bgb = bitgrid_from_occupancy(dil)
+            self._beam_cache[L] = (
+                device_bitgrid(bgb),
+                make_bitgrid_tracer(bgb, max_iters=self._BEAM_ITERS),
+            )
+        return self._beam_cache[L]
+
+    def _beam_fn(self, L, th, tw, tile):
+        key = (L, th, tw, tile)
+        if key in self._beam_fns:
+            return self._beam_fns[key]
+        _, tr = self._beam_setup(L)
+        iters = self._BEAM_ITERS
+
+        @jax.jit
+        def f(tree_b, o, d, cell, margin):
+            o_b = o / cell + 1.0  # world -> beam-grid coords (1-cell ring)
+            st = tr.init(tree_b, o_b, d)
+            st, _ = tr.run(tree_b, st, iters)
+            hit, hpoint, active, restarts = st[11], st[0], st[10], st[14]
+            t = jnp.linalg.norm(hpoint - o_b, axis=-1) * cell
+            # still-active (iteration cap) or restart-capped beams proved
+            # nothing: their tiles march from the world entry
+            unknown = active | (restarts > 4)
+            s = jnp.where(
+                hit,
+                jnp.maximum(t - margin, 0.0),
+                jnp.where(unknown, 0.0, F32(1e8)),
+            )
+            s = jnp.repeat(jnp.repeat(s.reshape(th, tw), tile, 0), tile, 1)
+            return s.reshape(-1)
+
+        self._beam_fns[key] = f
+        return f
+
+    def beam_start(self, camera, tile: int | None = None):
+        """Per-ray conservative start distances [h*w] from the beam prepass,
+        or None when the camera/scene geometry can't satisfy the bound."""
+        from voxelhex_tpu.render.camera import Camera, device_rays
+
+        tile = tile or self.beam_tile
+        w, h = camera.resolution
+        if w % tile or h % tile:
+            return None
+        L = self._beam_level(camera, tile)
+        if L is None:
+            return None
+        tree_b, _ = self._beam_setup(L)
+        cam_b = Camera(
+            origin=camera.origin,
+            target=camera.target,
+            up=camera.up,
+            fov_y_deg=camera.fov_y_deg,
+            resolution=(w // tile, h // tile),
+        )
+        o_b, d_b = device_rays(cam_b)
+        cell = float(4**L)
+        fn = self._beam_fn(L, h // tile, w // tile, tile)
+        return fn(tree_b, o_b, d_b, F32(cell), F32(1.5 * cell))
 
     def _prepass_fn(self, h, w, levels):
         """Jitted multi-level renderer: trace at 1/2**levels resolution, then
@@ -1225,7 +1391,7 @@ class BitGridRenderer:
 
     def render(self, camera, bg=(0.0, 0.0, 0.0), compact: bool = True,
                out_u8: bool = False, out_device: bool = False,
-               splat_prepass: bool = False):
+               splat_prepass: bool = False, beam_prepass: bool = False):
         """Render a frame.  ``out_u8`` quantizes to uint8 ON DEVICE (the
         reference's rgba8 output-texture convention) — 4x less host
         transfer, which dominates remote-TPU frame time.  ``out_device``
@@ -1267,6 +1433,18 @@ class BitGridRenderer:
 
         # compaction path: host-driven rounds, optional multi-level prepass
         from voxelhex_tpu.render.camera import Camera
+
+        if beam_prepass and levels == 0:
+            start = self.beam_start(camera)
+            if start is not None:
+                _hit, _v, _hv, _hp, _hn, rgb = self.trace_compacted(
+                    o, dv, start_t=start, shade_bg=bgc,
+                    first_round_iters=self.beam_first_iters,
+                )
+                if out_u8:
+                    rgb = self._to_u8(rgb)
+                rgb = rgb.reshape(h, w, 3)
+                return rgb if out_device else np.asarray(rgb)
 
         if splat_prepass and levels == 0 and h % 2 == 0 and w % 2 == 0:
             _hit, _v, _hv, _hp, _hn, rgb = self.trace_compacted(
