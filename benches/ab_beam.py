@@ -52,7 +52,12 @@ def main():
     r.beam_first_iters = args.first_iters
     beam_s = np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
     assert np.array_equal(base, beam_s), "short-first-round beam must be bit-exact"
-    start = np.asarray(r.beam_start(cam))
+    start_d = r.beam_start(cam)
+    if start_d is None:
+        print("beam bound unsatisfiable for this camera/scene "
+              "(no pyramid level keeps the tile bound valid); nothing to A/B")
+        return
+    start = np.asarray(start_d)
     print(f"dead tiles: {(start >= 1e8).mean():.1%}  "
           f"median start: {np.median(start[start < 1e8]):.1f}", flush=True)
 

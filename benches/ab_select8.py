@@ -62,7 +62,17 @@ def main():
     p0 = jnp.asarray(rng.uniform(1.0, 255.0, (R, 3)), dtype=F32)
     d0 = jnp.asarray(rng.normal(size=(R, 3)), dtype=F32)
     d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
-    sf0 = jnp.sqrt(1.0 + (d0 / jnp.where(d0 == 0, 1.0, d0)) ** 2).astype(F32)
+    # real per-axis DDA scale factors, same three-axis formula as the
+    # tracer's init (bitgrid.py sf) so the advance-math chain matches
+    dx, dy, dz = d0[:, 0], d0[:, 1], d0[:, 2]
+    sf0 = jnp.stack(
+        [
+            jnp.sqrt(1.0 + (dz / dx) ** 2 + (dy / dx) ** 2),
+            jnp.sqrt((dx / dy) ** 2 + 1.0 + (dz / dy) ** 2),
+            jnp.sqrt((dx / dz) ** 2 + (dy / dz) ** 2 + 1.0),
+        ],
+        axis=-1,
+    ).astype(F32)
     ts0 = jnp.asarray(rng.integers(0, 64, R), dtype=I32)
 
     def make_loop(width, substeps):

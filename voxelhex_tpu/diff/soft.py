@@ -285,16 +285,7 @@ def with_candidates(
     # rebuild the occupancy pyramid from the dilated mask ([x,y,z] order for
     # the packer); colors stay as-is — compositing shades from the params'
     # albedo, and init_params treats COLOR_EMPTY voxels as unoccupied
-    levels_lo, levels_hi = [], []
-    grid = dil.transpose(2, 1, 0)
-    while grid.shape[0] > 1:
-        lo, hi, coarse = bgmod._pack_bits(grid)
-        levels_lo.append(lo)
-        levels_hi.append(hi)
-        grid = coarse
-    bases = np.zeros(len(levels_lo), dtype=np.int64)
-    for i in range(1, len(levels_lo)):
-        bases[i] = bases[i - 1] + len(levels_lo[i - 1])
+    levels_lo, levels_hi, bases = bgmod._pack_pyramid(dil.transpose(2, 1, 0))
     bg2 = BitGrid(
         size=S,
         n_levels=len(levels_lo),

@@ -258,20 +258,13 @@ def build_bitgrid(source) -> BitGrid:
     if packed is not None:
         levels_lo, levels_hi = packed
         colors = col_flat
+        bases = np.zeros(len(levels_lo), dtype=np.int64)
+        for i in range(1, len(levels_lo)):
+            bases[i] = bases[i - 1] + len(levels_lo[i - 1])
     else:
         occ, col = _dense_from_flat(flat)
-        levels_lo, levels_hi = [], []
-        grid = occ
-        while grid.shape[0] > 1:
-            lo, hi, coarse = _pack_bits(grid)
-            levels_lo.append(lo)
-            levels_hi.append(hi)
-            grid = coarse
+        levels_lo, levels_hi, bases = _pack_pyramid(occ)
         colors = col.transpose(2, 1, 0).ravel()  # flat, x fastest
-
-    bases = np.zeros(len(levels_lo), dtype=np.int64)
-    for i in range(1, len(levels_lo)):
-        bases[i] = bases[i - 1] + len(levels_lo[i - 1])
 
     return BitGrid(
         size=flat.size,
@@ -284,12 +277,10 @@ def build_bitgrid(source) -> BitGrid:
     )
 
 
-def bitgrid_from_occupancy(occ_xyz: np.ndarray, palette=None) -> BitGrid:
-    """Build a BitGrid pyramid over a raw boolean occupancy grid [x, y, z]
-    (all occupied voxels take palette index 0).  Used for auxiliary grids —
-    e.g. the beam prepass's dilated coarse occupancy — that have no color
-    content of their own."""
-    S = int(occ_xyz.shape[0])
+def _pack_pyramid(occ_xyz: np.ndarray):
+    """Pack a bool [c,c,c] (x,y,z) grid into all pyramid levels.
+    Returns ``(levels_lo, levels_hi, bases)`` — the shared NumPy pack loop
+    used by build_bitgrid, bitgrid_from_occupancy and the streaming layer."""
     levels_lo, levels_hi = [], []
     grid = occ_xyz
     while grid.shape[0] > 1:
@@ -300,6 +291,16 @@ def bitgrid_from_occupancy(occ_xyz: np.ndarray, palette=None) -> BitGrid:
     bases = np.zeros(len(levels_lo), dtype=np.int64)
     for i in range(1, len(levels_lo)):
         bases[i] = bases[i - 1] + len(levels_lo[i - 1])
+    return levels_lo, levels_hi, bases
+
+
+def bitgrid_from_occupancy(occ_xyz: np.ndarray, palette=None) -> BitGrid:
+    """Build a BitGrid pyramid over a raw boolean occupancy grid [x, y, z]
+    (all occupied voxels take palette index 0).  Used for auxiliary grids —
+    e.g. the beam prepass's dilated coarse occupancy — that have no color
+    content of their own."""
+    S = int(occ_xyz.shape[0])
+    levels_lo, levels_hi, bases = _pack_pyramid(occ_xyz)
     colors = (
         np.where(occ_xyz, 0, COLOR_EMPTY)
         .astype(np.uint16)
@@ -1050,6 +1051,7 @@ class BitGridRenderer:
     # ------------------------------------------------------------------
 
     _BEAM_ITERS = 128
+    _BEAM_RESTARTS = 4  # shared with _beam_fn's restart-cap classification
 
     def _beam_level(self, camera, tile):
         """Smallest pyramid level whose cell size keeps the beam bound valid
@@ -1093,7 +1095,8 @@ class BitGridRenderer:
             bgb = bitgrid_from_occupancy(dil)
             self._beam_cache[L] = (
                 device_bitgrid(bgb),
-                make_bitgrid_tracer(bgb, max_iters=self._BEAM_ITERS),
+                make_bitgrid_tracer(bgb, max_iters=self._BEAM_ITERS,
+                                    max_restarts=self._BEAM_RESTARTS),
             )
         return self._beam_cache[L]
 
@@ -1113,7 +1116,7 @@ class BitGridRenderer:
             t = jnp.linalg.norm(hpoint - o_b, axis=-1) * cell
             # still-active (iteration cap) or restart-capped beams proved
             # nothing: their tiles march from the world entry
-            unknown = active | (restarts > 4)
+            unknown = active | (restarts > self._BEAM_RESTARTS)
             s = jnp.where(
                 hit,
                 jnp.maximum(t - margin, 0.0),

@@ -445,13 +445,9 @@ class StreamingView:
 
         # host mirrors from the shifted window, coarse levels re-uploaded
         # (a few tens of KB)
-        levels_lo, levels_hi = [], []
-        grid = self._occ
-        while grid.shape[0] > 1:
-            lo, hi, coarse = _pack_bits(grid)
-            levels_lo.append(lo)
-            levels_hi.append(hi)
-            grid = coarse
+        from voxelhex_tpu.render.bitgrid import _pack_pyramid
+
+        levels_lo, levels_hi, _bases = _pack_pyramid(self._occ)
         bg.occ_lo = np.concatenate(levels_lo)
         bg.occ_hi = np.concatenate(levels_hi)
         bg.colors = self._col.transpose(2, 1, 0).ravel()
@@ -672,16 +668,9 @@ class StreamingView:
 
     def _rebuild_device(self):
         """Repack the pyramid and refresh the device arrays."""
-        levels_lo, levels_hi = [], []
-        grid = self._occ
-        while grid.shape[0] > 1:
-            lo, hi, coarse = _pack_bits(grid)
-            levels_lo.append(lo)
-            levels_hi.append(hi)
-            grid = coarse
-        bases = np.zeros(len(levels_lo), dtype=np.int64)
-        for i in range(1, len(levels_lo)):
-            bases[i] = bases[i - 1] + len(levels_lo[i - 1])
+        from voxelhex_tpu.render.bitgrid import _pack_pyramid
+
+        levels_lo, levels_hi, bases = _pack_pyramid(self._occ)
         # pad the palette to a stable power-of-two row count so edits that
         # add colors don't change jitted shapes (avoids recompiles)
         n_colors = max(1, len(self.tree.color_palette))
