@@ -152,6 +152,7 @@ class StreamingView:
         prepass: bool = False,
         placeholder_lod: bool = True,
         async_uploads: bool = False,
+        occlusion_prune: bool = True,
     ):
         assert view_size % REGION == 0
         self.tree = tree
@@ -159,6 +160,14 @@ class StreamingView:
         self.regions_per_update = int(regions_per_update)
         self.placeholder_lod = bool(placeholder_lod)
         self._placeholder: set = set()  # regions holding coarse LOD content
+        # occlusion pruning (reference: upload_queue.rs:528-530 treats an
+        # is_occluded() node like a leaf — its subtree never uploads and
+        # rays that reach it probe the MIP): regions inside a fully-occluded
+        # tree node page coarse LOD content ONCE and never upgrade to real
+        # voxels, freeing the upload budget for visible regions.
+        self.occlusion_prune = bool(occlusion_prune)
+        self._occluded: set = set()  # regions parked at LOD by occlusion
+        self._occ_checked: set = set()  # dirty regions already classified
         self.origin = np.zeros(3, dtype=np.int64)  # view window min corner
 
         # async region rasterization: a worker thread fills staging buffers
@@ -198,6 +207,8 @@ class StreamingView:
         n = self._region_range()
         self._dirty = {(x, y, z) for x in range(n) for y in range(n) for z in range(n)}
         self._resident.clear()
+        self._occluded.clear()
+        self._occ_checked.clear()
 
     def _on_tree_update(self, access_stack, sectants):
         """Tree edit callback: conservatively mark the affected node's world
@@ -205,6 +216,12 @@ class StreamingView:
         streaming/mod.rs:35-286)."""
         self._flat = None  # host tree changed: stale snapshot
         self._gen += 1  # in-flight async jobs against the old snapshot drop
+        # occlusion is a non-local property (clearing a wall un-occludes the
+        # rooms behind it): re-classify every parked region on ANY edit
+        if self._occluded:
+            self._dirty |= self._occluded
+            self._occluded.clear()
+        self._occ_checked.clear()
         # access_stack: [(node_key, sectant), ...] from the root; re-derive
         # the deepest node's bounds
         size = float(self.tree.size)
@@ -227,8 +244,27 @@ class StreamingView:
                     self._dirty.add((x, y, z))
                     self._resident.discard((x, y, z))
                     self._placeholder.discard((x, y, z))
+                    self._occluded.discard((x, y, z))
 
     # ------------------------------------------------------------------
+
+    def _region_occluded(self, region) -> bool:
+        """True when the region lies inside a tree node whose six same-size
+        neighbors are all fully occupied (``occlusion == 0x3F`` — the
+        reference's ``is_occluded()``, node.rs:176-178): its real content
+        cannot be a first hit, so it pages coarse LOD only
+        (upload_queue.rs:528-530 stops the upload walk at such nodes)."""
+        lo = np.asarray(region, dtype=np.float64) * REGION + self.origin
+        hi = lo + REGION
+        if np.any(lo < 0) or np.any(hi > self.tree.size):
+            return False
+        stack = self.tree.access_stack(lo + REGION / 2.0)
+        for key, bmin, bsize in stack[1:]:  # the root has no siblings
+            if not (np.all(lo >= bmin) and np.all(hi <= bmin + bsize)):
+                break  # node no longer contains the whole region
+            if (self.tree.node(key).occlusion & 0x3F) == 0x3F:
+                return True
+        return False
 
     def _desired_origin(self, camera_origin):
         """Snap the view window around the camera to the region grid."""
@@ -250,11 +286,23 @@ class StreamingView:
             self.origin = new_origin
 
         filled = []
+        if self.occlusion_prune and self._dirty:
+            to_check = self._dirty - self._occ_checked
+            self._occ_checked |= to_check
+            parked = {r for r in to_check if self._region_occluded(r)}
+            if parked:
+                fresh = [r for r in parked if r not in self._placeholder]
+                if fresh:
+                    self._fill_placeholders(fresh)
+                    filled += fresh
+                self._dirty -= parked
+                self._occluded |= parked
+
         if self.placeholder_lod and self._dirty:
             fresh = [r for r in self._dirty if r not in self._placeholder]
             if fresh:
                 self._fill_placeholders(fresh)
-                filled = fresh
+                filled += fresh
 
         if self._async:
             uploaded = self._drain_async()
@@ -314,12 +362,15 @@ class StreamingView:
 
         self._resident = shift_set(self._resident)
         self._placeholder = shift_set(self._placeholder)
+        self._occluded = shift_set(self._occluded)
+        self._occ_checked.clear()
         self._dirty = {
             (x, y, z)
             for x in range(n)
             for y in range(n)
             for z in range(n)
             if (x, y, z) not in self._resident
+            and (x, y, z) not in self._occluded
         }
 
     # ------------------------------------------------------------------
