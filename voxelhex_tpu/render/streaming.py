@@ -32,6 +32,7 @@ from voxelhex_tpu.render.bitgrid import (
     BitGrid,
     BitGridRenderer,
     _pack_bits,
+    _pack_pyramid,
     build_bitgrid,
 )
 from voxelhex_tpu.tree.boxtree import BoxTree
@@ -141,6 +142,198 @@ def _make_coarse_rebuild(S: int):
     return rebuild
 
 
+def _far_kill_hits(hit):
+    """Start distances that park already-hit rays at the world's far side:
+    the far tracer clips the start to its root exit, so these rays leave in
+    a couple of iterations and compact away after the first round."""
+    import jax
+
+    global _FAR_KILL
+    if "_FAR_KILL" not in globals():
+        import jax.numpy as jnp
+
+        _FAR_KILL = jax.jit(
+            lambda hit: jnp.where(hit, jnp.float32(1e9), jnp.float32(0.0))
+        )
+    return _FAR_KILL(hit)
+
+
+def _far_composite(hit, rgb_fine, hpoint, o, fhit, rgb_far, fhpoint, o_f, F):
+    """Min-distance composite of the fine-window and far-field results.
+    ``rgb_fine`` already carries the background for miss rays, so the
+    composite is one select: far wins only where it hit AND is nearer than
+    any fine hit (fine and far content are spatially disjoint — the far
+    grid's window box is cleared)."""
+    import jax
+
+    global _FAR_COMP
+    if "_FAR_COMP" not in globals():
+        import jax.numpy as jnp
+
+        def comp(hit, rgb_fine, hpoint, o, fhit, rgb_far, fhpoint, o_f, F):
+            d_fine = jnp.linalg.norm(hpoint - o, axis=-1)
+            d_far = jnp.linalg.norm(fhpoint - o_f, axis=-1) * F
+            use_far = fhit & ((~hit) | (d_far < d_fine))
+            return jnp.where(use_far[:, None], rgb_far, rgb_fine)
+
+        _FAR_COMP = jax.jit(comp)
+    return _FAR_COMP(hit, rgb_fine, hpoint, o, fhit, rgb_far, fhpoint, o_f, F)
+
+
+class FarField:
+    """Whole-world coarse-LOD grid — the clipmap ring behind the window.
+
+    The reference keeps the ENTIRE scene renderable: the upload queue
+    includes nodes per level out to ``view_distance * 4^(level-1)``
+    (upload_queue.rs:150-207) and the shader probes MIP bricks for
+    unstreamed children (viewport_render.wgsl:328-364).  The TPU-native
+    analog: ONE whole-world BitGrid at cell granularity ``factor`` (so it is
+    at most window-sized), colored by coarse point-samples of the tree
+    (``sample_coarse`` — the same MIP probe the placeholder fill uses), with
+    the fine window's box CLEARED out of its occupancy (the window renders
+    that space at full detail).  Rays that miss in the window continue into
+    this grid, so the horizon renders at MIP colors out to the world edge.
+    """
+
+    def __init__(self, view: "StreamingView"):
+        self.view = view
+        W = int(view.tree.size)
+        S = int(view.view_size)
+        self.factor = F = max(W // S, 1)
+        assert F * S == W and (F & (F - 1)) == 0
+        # window origins are REGION-aligned; hole clearing needs cell
+        # alignment, so the factor must divide REGION
+        assert REGION % F == 0, (
+            f"far-field factor {F} exceeds the region alignment {REGION}; "
+            f"use a larger view window for this world size"
+        )
+        self.cells = C = W // F
+        self._build_pristine()
+        self._dirty_boxes: list = []  # world-space (lo, hi) boxes from edits
+        self._hole_origin = None
+        self.renderer: BitGridRenderer | None = None
+        self._pidx = None
+
+    def _build_pristine(self):
+        """Coarse occupancy + colors for every world cell (one vectorized
+        sample_coarse pass over the cell centers)."""
+        from voxelhex_tpu.tree.flat import NO_COLOR_HIT, sample_coarse
+
+        C, F = self.cells, self.factor
+        r = np.arange(C, dtype=np.int64) * F + F // 2
+        pts = np.stack(
+            np.meshgrid(r, r, r, indexing="ij"), axis=-1
+        ).reshape(-1, 3)  # [x, y, z] cell order
+        occ, col = sample_coarse(self.view._flat_snapshot(), pts, self.factor)
+        col16 = np.where(
+            col == NO_COLOR_HIT, 0xFFFE, np.clip(col, 0, 0xFFFD)
+        ).astype(np.uint16)
+        col16 = np.where(occ, col16, COLOR_EMPTY)
+        self._occ = occ.reshape(C, C, C)  # [x, y, z] pristine (no hole)
+        self._col = col16.reshape(C, C, C)
+
+    def _update_cells(self, lo, hi):
+        """Refresh pristine cells overlapping the world box [lo, hi)."""
+        from voxelhex_tpu.tree.flat import NO_COLOR_HIT, sample_coarse
+
+        C, F = self.cells, self.factor
+        c0 = np.maximum(np.asarray(lo, dtype=np.int64) // F, 0)
+        c1 = np.minimum(
+            (np.asarray(hi, dtype=np.int64) + F - 1) // F, C
+        )
+        if np.any(c1 <= c0):
+            return
+        axes = [np.arange(a, b, dtype=np.int64) for a, b in zip(c0, c1)]
+        pts = np.stack(
+            np.meshgrid(*axes, indexing="ij"), axis=-1
+        ).reshape(-1, 3) * F + F // 2
+        occ, col = sample_coarse(self.view._flat_snapshot(), pts, F)
+        col16 = np.where(
+            col == NO_COLOR_HIT, 0xFFFE, np.clip(col, 0, 0xFFFD)
+        ).astype(np.uint16)
+        col16 = np.where(occ, col16, COLOR_EMPTY)
+        shape = tuple(int(b - a) for a, b in zip(c0, c1))
+        sl = tuple(slice(int(a), int(b)) for a, b in zip(c0, c1))
+        self._occ[sl] = occ.reshape(shape)
+        self._col[sl] = col16.reshape(shape)
+
+    def note_edit(self, lo, hi):
+        self._dirty_boxes.append((np.asarray(lo), np.asarray(hi)))
+
+    def _device_palette(self):
+        """The tree palette padded to a stable power-of-two (cells reference
+        the SAME palette indices as fine voxels)."""
+        palette = self.view.tree.color_palette
+        n_rows = 64
+        while n_rows < max(1, len(palette)):
+            n_rows *= 2
+        pal = np.zeros((n_rows, 4), dtype=np.float32)
+        for i, c in enumerate(palette):
+            pal[i] = [c.r / 255.0, c.g / 255.0, c.b / 255.0, c.a / 255.0]
+        return pal
+
+    def refresh(self):
+        """Bring the device grid up to date: apply pending edit boxes, and
+        re-cut the window hole if the window moved.  Colors upload once
+        (and again only after edits); window moves re-upload only the
+        occupancy words (~2 MB at C=256)."""
+        view = self.view
+        edited = bool(self._dirty_boxes)
+        for lo, hi in self._dirty_boxes:
+            self._update_cells(lo, hi)
+        self._dirty_boxes.clear()
+
+        origin = tuple(int(v) for v in view.origin)
+        if self.renderer is not None and not edited and origin == self._hole_origin:
+            return
+        self._hole_origin = origin
+        C, F, S = self.cells, self.factor, view.view_size
+        holed = self._occ.copy()
+        h0 = tuple(o // F for o in origin)
+        hn = S // F
+        holed[h0[0]:h0[0] + hn, h0[1]:h0[1] + hn, h0[2]:h0[2] + hn] = False
+        levels_lo, levels_hi, bases = _pack_pyramid(holed)
+
+        if self.renderer is None or edited:
+            bg = BitGrid(
+                size=C,
+                n_levels=len(levels_lo),
+                level_bases=bases,
+                occ_lo=np.concatenate(levels_lo),
+                occ_hi=np.concatenate(levels_hi),
+                colors=self._col.transpose(2, 1, 0).ravel(),
+                palette=self._device_palette(),
+            )
+            if self.renderer is None:
+                self.renderer = BitGridRenderer(bg)
+            else:
+                from voxelhex_tpu.render.bitgrid import device_bitgrid
+
+                self.renderer.bitgrid = bg
+                self.renderer.tree = device_bitgrid(bg)
+            return
+
+        # window move only: occupancy words changed, colors did not
+        import jax.numpy as jnp
+
+        from voxelhex_tpu.render.bitgrid import (
+            _quads_from_pairs_jit,
+            parent_index,
+        )
+
+        bg = self.renderer.bitgrid
+        bg.occ_lo = np.concatenate(levels_lo)
+        bg.occ_hi = np.concatenate(levels_hi)
+        pairs = np.stack([bg.occ_lo, bg.occ_hi], axis=1).astype(np.uint32)
+        tree_dev = self.renderer.tree
+        tree_dev["occ_pairs"] = jnp.asarray(pairs)
+        if self._pidx is None:
+            self._pidx = jnp.asarray(parent_index(bg))
+        tree_dev["occ_quads"] = _quads_from_pairs_jit(
+            tree_dev["occ_pairs"], self._pidx
+        )
+
+
 class StreamingView:
     """A camera-following resident window over a (possibly huge) host tree."""
 
@@ -153,9 +346,18 @@ class StreamingView:
         placeholder_lod: bool = True,
         async_uploads: bool = False,
         occlusion_prune: bool = True,
+        far_field: bool = True,
     ):
         assert view_size % REGION == 0
         self.tree = tree
+        # far-field LOD: content beyond the window renders at coarse MIP
+        # colors out to the world edge (reference: the whole scene stays
+        # renderable, upload_queue.rs:150-207 + probe_MIP).  Only active
+        # when the world is actually bigger than the window.
+        self.far: FarField | None = None
+        self._want_far = bool(far_field) and int(tree.size) > int(view_size)
+        self.far_first_iters = 6  # far-trace round-1 length (filtered rays
+        # — those that already hit in the window — die in ~2 iterations)
         self.view_size = int(view_size)
         self.regions_per_update = int(regions_per_update)
         self.placeholder_lod = bool(placeholder_lod)
@@ -231,7 +433,11 @@ class StreamingView:
             mn = mn + np.array(
                 [sectant % 4, (sectant // 4) % 4, sectant // 16]
             ) * size
-        # the node covers [mn, mn+size); mark overlapping view regions
+        # the node covers [mn, mn+size); the far-field grid refreshes its
+        # overlapping cells lazily before the next far render
+        if self.far is not None:
+            self.far.note_edit(mn, mn + size)
+        # mark overlapping view regions
         lo = np.maximum(mn - self.origin, 0)
         hi = np.minimum(mn + size - self.origin, self.view_size)
         if np.any(hi <= 0) or np.any(lo >= self.view_size):
@@ -274,9 +480,40 @@ class StreamingView:
         origin = np.clip(origin, 0, max(self.tree.size - self.view_size, 0))
         return origin.astype(np.int64)
 
-    def update(self, camera_origin) -> int:
+    def _frustum_order(self, camera):
+        """Dirty regions sorted for upload: in-frustum regions first, each
+        group nearest-first — the reference's visibility-driven upload-queue
+        rebuild (upload_queue.rs:60-148 collects nodes from the view cube
+        outward); regions the camera is about to see page before regions
+        behind it."""
+        regions = sorted(self._dirty)
+        if not regions:
+            return []
+        arr = np.asarray(regions, dtype=np.float64)
+        centers = arr * REGION + REGION / 2.0 + self.origin
+        co = np.asarray(camera.origin, dtype=np.float64)
+        forward, right, up = camera.basis()
+        rel = centers - co
+        dist = np.linalg.norm(rel, axis=1)
+        z = rel @ np.asarray(forward, dtype=np.float64)
+        x = rel @ np.asarray(right, dtype=np.float64)
+        y = rel @ np.asarray(up, dtype=np.float64)
+        tan_y = float(np.tan(np.radians(camera.fov_y_deg) / 2.0))
+        w, h = camera.resolution
+        tan_x = tan_y * w / h
+        margin = REGION * 0.87  # region half-diagonal: conservative bound
+        inside = (
+            (z > -margin)
+            & (np.abs(x) <= np.maximum(z, 0.0) * tan_x + 2 * margin)
+            & (np.abs(y) <= np.maximum(z, 0.0) * tan_y + 2 * margin)
+        )
+        order = np.lexsort((dist, ~inside))  # frustum first, then nearest
+        return [regions[i] for i in order]
+
+    def update(self, camera_origin, camera=None) -> int:
         """Move the window if needed and upload up to ``regions_per_update``
-        dirty regions.  Returns the number of regions still dirty."""
+        dirty regions (frustum-prioritized when ``camera`` is given).
+        Returns the number of regions still dirty."""
         new_origin = self._desired_origin(camera_origin)
         if not np.array_equal(new_origin, self.origin):
             shift = new_origin - self.origin
@@ -304,18 +541,22 @@ class StreamingView:
                 self._fill_placeholders(fresh)
                 filled += fresh
 
+        queue = None
+        if camera is not None and len(self._dirty) > self.regions_per_update:
+            queue = self._frustum_order(camera)
         if self._async:
             uploaded = self._drain_async()
-            self._submit_async()
+            self._submit_async(queue)
         else:
             budget = self.regions_per_update
             uploaded = []
-            while self._dirty and budget > 0:
-                region = self._dirty.pop()
+            if queue is None:
+                queue = list(self._dirty)
+            for region in queue[:budget]:
+                self._dirty.discard(region)
                 self._rasterize_region(region)
                 self._resident.add(region)
                 self._placeholder.discard(region)
-                budget -= 1
                 self.uploads += 1
                 uploaded.append(region)
 
@@ -396,13 +637,13 @@ class StreamingView:
         col = col_f.reshape(shape).transpose(2, 1, 0)
         return occ, col
 
-    def _submit_async(self):
+    def _submit_async(self, queue=None):
         if not self._dirty:
             return
         flat = self._flat_snapshot()
         gen, origin = self._gen, tuple(int(v) for v in self.origin)
         budget = self.regions_per_update - len(self._inflight)
-        for region in sorted(self._dirty):
+        for region in (queue if queue is not None else sorted(self._dirty)):
             if budget <= 0:
                 break
             if region in self._inflight:
@@ -496,8 +737,6 @@ class StreamingView:
 
         # host mirrors from the shifted window, coarse levels re-uploaded
         # (a few tens of KB)
-        from voxelhex_tpu.render.bitgrid import _pack_pyramid
-
         levels_lo, levels_hi, _bases = _pack_pyramid(self._occ)
         bg.occ_lo = np.concatenate(levels_lo)
         bg.occ_hi = np.concatenate(levels_hi)
@@ -719,8 +958,6 @@ class StreamingView:
 
     def _rebuild_device(self):
         """Repack the pyramid and refresh the device arrays."""
-        from voxelhex_tpu.render.bitgrid import _pack_pyramid
-
         levels_lo, levels_hi, bases = _pack_pyramid(self._occ)
         # pad the palette to a stable power-of-two row count so edits that
         # add colors don't change jitted shapes (avoids recompiles)
@@ -757,10 +994,14 @@ class StreamingView:
                out_device: bool = False):
         """Update the window for the camera and render (view-space shift).
         ``out_device=True`` leaves the frame on device (FramePipeline can
-        then overlap the download with the next frame's rounds)."""
+        then overlap the download with the next frame's rounds).
+
+        With the far field active (world larger than the window), rays that
+        miss in the window continue through the whole-world coarse grid, so
+        the horizon renders at MIP colors out to the world edge."""
         from dataclasses import replace
 
-        self.update(np.asarray(camera.target, dtype=np.float64))
+        self.update(np.asarray(camera.target, dtype=np.float64), camera=camera)
         cam_local = replace(
             camera,
             origin=np.asarray(camera.origin, dtype=np.float32)
@@ -768,5 +1009,52 @@ class StreamingView:
             target=np.asarray(camera.target, dtype=np.float32)
             - self.origin.astype(np.float32),
         )
+        if self._want_far:
+            if self.far is None:
+                self.far = FarField(self)
+            self.far.refresh()
+            return self._render_far(camera, cam_local, bg, out_u8, out_device)
         return self.renderer.render(cam_local, bg=bg, out_u8=out_u8,
                                     out_device=out_device)
+
+    def _render_far(self, camera, cam_local, bg, out_u8, out_device):
+        """Fine window trace + whole-world coarse trace, composited by hit
+        distance.  When the camera sits inside the window, every far hit is
+        provably beyond every fine hit (the far grid's window box is cut
+        out), so fine-hit rays enter the far trace pre-killed (start at the
+        world's far side) and compact away after a short first round."""
+        import jax.numpy as jnp
+        from voxelhex_tpu.render.camera import device_rays
+        from dataclasses import replace
+
+        w, h = camera.resolution
+        bgc = jnp.asarray(bg, dtype=jnp.float32)
+        o, dv = device_rays(cam_local)
+        hit, _v, _hv, hpoint, _hn, rgb_fine = self.renderer.trace_compacted(
+            o, dv, shade_bg=bgc
+        )
+
+        F = float(self.far.factor)
+        cam_far = replace(
+            camera,
+            origin=np.asarray(camera.origin, dtype=np.float32) / F,
+            target=np.asarray(camera.target, dtype=np.float32) / F,
+        )
+        o_f, d_f = device_rays(cam_far)
+        co = np.asarray(camera.origin, dtype=np.float64)
+        inside = bool(
+            np.all((co > self.origin) & (co < self.origin + self.view_size))
+        )
+        far_start = _far_kill_hits(hit) if inside else None
+        fhit, _fv, _fhv, fhpoint, _fhn, rgb_far = self.far.renderer.trace_compacted(
+            o_f, d_f, start_t=far_start, shade_bg=bgc,
+            first_round_iters=self.far_first_iters if inside else None,
+        )
+        rgb = _far_composite(
+            hit, rgb_fine, hpoint, o, fhit, rgb_far, fhpoint, o_f,
+            jnp.float32(F),
+        )
+        if out_u8:
+            rgb = self.renderer._to_u8(rgb)
+        rgb = rgb.reshape(h, w, 3)
+        return rgb if out_device else np.asarray(rgb)
