@@ -87,3 +87,55 @@ def test_streaming_service_serves_windowed_scene():
                          "color": [255, 255, 0, 255], "size": 4})
     rgb2 = service.render([-30, 60, -30], [32, 16, 32], (48, 36))
     assert not np.array_equal(rgb, rgb2)
+
+
+def _tiny_vox_bytes():
+    """Minimal valid .vox: one 8^3 model with a few voxels."""
+    import struct
+
+    def chunk(cid, content, children=b""):
+        return (cid + struct.pack("<ii", len(content), len(children))
+                + content + children)
+
+    size = chunk(b"SIZE", struct.pack("<iii", 8, 8, 8))
+    voxels = [(1, 1, 1, 1), (2, 1, 1, 2), (1, 2, 1, 3), (4, 4, 4, 4)]
+    xyzi = chunk(b"XYZI", struct.pack("<i", len(voxels))
+                 + b"".join(struct.pack("<4B", *v) for v in voxels))
+    main = chunk(b"MAIN", b"", size + xyzi)
+    return b"VOX " + struct.pack("<i", 150) + main
+
+
+def test_viewer_page_served(server):
+    _service, base = server
+    html = urllib.request.urlopen(f"{base}/", timeout=30).read().decode()
+    assert "voxelhex-tpu" in html and "/frame?" in html and "/load" in html
+
+
+def test_load_endpoint_swaps_scene(tmp_path):
+    """POST /load with raw .vox bytes swaps the served scene (the whisp
+    drag-drop loader); a second identical upload hits the bencode cache."""
+    service = RenderService(_scene())
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        data = _tiny_vox_bytes()
+        req = urllib.request.Request(f"{base}/load?name=tiny.vox", data=data,
+                                     method="POST")
+        resp = json.load(urllib.request.urlopen(req, timeout=60))
+        assert resp["loaded"] and resp["size"] == 16  # 8^3 model -> 16-tree
+        assert service.tree.size == 16
+        # voxel (1,1,1) in Rzup converts into the tree; just check content
+        assert service.tree.node_count >= 1
+        png = urllib.request.urlopen(
+            f"{base}/frame?ox=-10&oy=20&oz=-10&tx=8&ty=4&tz=8&w=32&h=24",
+            timeout=60).read()
+        assert png[:4] == b"\x89PNG"
+        # cache hit path: identical upload round-trips through bencode
+        resp2 = json.load(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/load?name=tiny.vox", data=data,
+                                   method="POST"), timeout=60))
+        assert resp2["loaded"]
+    finally:
+        srv.shutdown()

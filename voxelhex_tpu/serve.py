@@ -9,12 +9,19 @@ device work onto a single lock.
 
 Endpoints
 ---------
+- ``GET /`` — the interactive viewer UI (viewer.html: drag-to-orbit camera,
+  fov/resolution sliders, camera lock, FPS graph, drag-drop .vox upload,
+  prefs persisted in localStorage — the whisp feature set,
+  whisp/src/main.rs:14-128, served to a browser instead of a window).
 - ``GET /frame?ox=&oy=&oz=&tx=&ty=&tz=&w=&h=[&fov=]`` — render a frame for
   the given origin/target camera; returns ``image/png``.
 - ``POST /edit`` — JSON ``{"op": "insert"|"clear", "pos": [x,y,z],
   "color": [r,g,b,a]}`` (or a list of such ops); applies to the live tree
   and invalidates device state (delta uploads through the streaming view's
   edit triggers).
+- ``POST /load?name=`` — body is raw .vox bytes; parses, builds and swaps
+  the served scene, with a content-addressed bencode disk cache (whisp's
+  drag-drop loader + ``.cache_<name>`` workflow, whisp/src/loader.rs:51-96).
 - ``GET /stats`` — JSON: scene info + last trace profile (rounds,
   iterations, seconds — the whisp fps-overlay analog).
 
@@ -107,6 +114,59 @@ class RenderService:
                 self.renderer = BitGridRenderer(flatten(self.tree))
         return n
 
+    def load_scene(self, tree, view_size: int | None = None) -> None:
+        """Swap the served scene (drag-drop load in the viewer UI)."""
+        from voxelhex_tpu.render.bitgrid import BitGridRenderer
+        from voxelhex_tpu.render.streaming import StreamingView
+        from voxelhex_tpu.tree.flat import flatten
+
+        with self._lock:
+            self.tree = tree
+            if view_size is not None and view_size < tree.size:
+                self.view = StreamingView(tree, view_size=view_size)
+                self.renderer = None
+            else:
+                self.view = None
+                self.renderer = BitGridRenderer(flatten(tree))
+
+    def load_vox_bytes(self, data: bytes, name: str = "model.vox",
+                       brick_dim: int = 4, cache_dir=None) -> None:
+        """Load an uploaded .vox, with a bencode disk cache — the whisp
+        loader workflow (whisp/src/loader.rs:51-96: drag-drop -> async
+        parse -> versioned ``.cache_<name>`` bencode file; incompatible
+        cache versions silently re-parse the source)."""
+        import hashlib
+        import os
+        import tempfile
+
+        from voxelhex_tpu.io import bencode
+
+        safe = "".join(c for c in name if c.isalnum() or c in "._-")
+        digest = hashlib.sha1(data).hexdigest()[:16]
+        cache = os.path.join(cache_dir or tempfile.gettempdir(),
+                             f".vhx_cache_{safe}_{digest}")
+        tree = None
+        if os.path.exists(cache):
+            try:
+                tree = bencode.load(cache)
+            except Exception:
+                tree = None  # version gate failed: re-parse the source
+        if tree is None:
+            from voxelhex_tpu.io.vox import load_vox_tree
+
+            with tempfile.NamedTemporaryFile(suffix=".vox", delete=False) as f:
+                f.write(data)
+                path = f.name
+            try:
+                tree = load_vox_tree(path, brick_dim=brick_dim)
+            finally:
+                os.unlink(path)
+            try:
+                bencode.save(tree, cache)
+            except Exception:
+                pass  # cache is best-effort
+        self.load_scene(tree)
+
     def stats(self) -> dict:
         r = self.view.renderer if self.view is not None else self.renderer
         out = {
@@ -145,7 +205,15 @@ def make_server(service: RenderService, host: str = "127.0.0.1",
         def do_GET(self):
             url = urlparse(self.path)
             try:
-                if url.path == "/frame":
+                if url.path in ("/", "/viewer"):
+                    import os
+
+                    page = open(
+                        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "viewer.html"), "rb"
+                    ).read()
+                    self._send(200, page, "text/html; charset=utf-8")
+                elif url.path == "/frame":
                     q = {k: v[0] for k, v in parse_qs(url.query).items()}
                     origin = [float(q["ox"]), float(q["oy"]), float(q["oz"])]
                     target = [float(q["tx"]), float(q["ty"]), float(q["tz"])]
@@ -170,6 +238,14 @@ def make_server(service: RenderService, host: str = "127.0.0.1",
                     applied = service.apply_edits(ops)
                     self._send(200, json.dumps({"applied": applied}).encode(),
                                "application/json")
+                elif url.path == "/load":
+                    n = int(self.headers.get("Content-Length", 0))
+                    data = self.rfile.read(n)
+                    q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                    service.load_vox_bytes(data, name=q.get("name", "model.vox"))
+                    self._send(200, json.dumps(
+                        {"loaded": True, "size": int(service.tree.size)}
+                    ).encode(), "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")
             except Exception as e:  # noqa: BLE001
