@@ -400,3 +400,66 @@ def test_beam_prepass_falls_back_gracefully():
     np.testing.assert_array_equal(
         r.render(cam, beam_prepass=True, out_u8=True), r.render(cam, out_u8=True)
     )
+
+
+def test_skip_tracer_matches_stack():
+    """The fused-hierarchy skip tracer must agree with the stack automaton
+    on every hit, voxel, point and normal (both are oracle-anchored)."""
+    tree = make_scene(64, 4)
+    r_stack = BitGridRenderer(tree)
+    r_skip = BitGridRenderer(tree, tracer="skip")
+    rng = np.random.default_rng(23)
+    n = 3000
+    targets = rng.random((n, 3)) * 64
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (targets - dirs * 200).astype(np.float32)
+    dirs = dirs.astype(np.float32)
+    h1, v1, hv1, _p1, n1 = (np.asarray(x) for x in r_stack.trace(origins, dirs))
+    h2, v2, hv2, _p2, n2 = (np.asarray(x) for x in r_skip.trace(origins, dirs))
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(v1[h1], v2[h1])
+    np.testing.assert_array_equal(hv1[h1], hv2[h1])
+    np.testing.assert_allclose(n1[h1], n2[h1], atol=1e-5)
+
+
+@pytest.mark.parametrize("substeps", [1, 3])
+def test_skip_tracer_compacted_frame_bit_exact(substeps):
+    """Full compacted frames (the production path) are bit-exact between
+    the tracers, including rays started mid-flight (start_t)."""
+    tree = make_scene(64, 4)
+    r_stack = BitGridRenderer(tree)
+    r_skip = BitGridRenderer(tree, tracer="skip", skip_substeps=substeps)
+    from voxelhex_tpu.render.camera import orbit_camera
+
+    cam = orbit_camera(64.0, resolution=(96, 64))
+    f1 = np.asarray(r_stack.render(cam, out_u8=True))
+    f2 = np.asarray(r_skip.render(cam, out_u8=True))
+    np.testing.assert_array_equal(f1, f2)
+    # start_t path (beam/splat prepasses feed this)
+    f3 = np.asarray(r_skip.render(cam, out_u8=True, splat_prepass=True))
+    np.testing.assert_array_equal(f1, f3)
+
+
+def test_skip_rows_structure():
+    """Every skip row must equal the per-level word pair of the block's
+    ancestor chain."""
+    from voxelhex_tpu.render.bitgrid import build_bitgrid, build_skip_rows
+
+    tree = make_scene(64, 4)
+    bg = build_bitgrid(flatten(tree))
+    rows = build_skip_rows(bg)
+    n0 = bg.size // 4
+    rng = np.random.default_rng(3)
+    dims, c = [], bg.size
+    for _ in range(bg.n_levels):
+        dims.append(max((c + 3) // 4, 1))
+        c = dims[-1]
+    for _ in range(50):
+        bx, by, bz = (int(v) for v in rng.integers(0, n0, 3))
+        a = bx + by * n0 + bz * n0 * n0
+        for k in range(bg.n_levels):
+            kx, ky, kz = bx >> (2 * k), by >> (2 * k), bz >> (2 * k)
+            idx = int(bg.level_bases[k]) + kx + ky * dims[k] + kz * dims[k] ** 2
+            assert rows[a, 2 * k] == bg.occ_lo[idx]
+            assert rows[a, 2 * k + 1] == bg.occ_hi[idx]

@@ -364,7 +364,8 @@ def quads_from_pairs(pairs, pidx):
 _quads_from_pairs_jit = jax.jit(quads_from_pairs)
 
 
-def device_bitgrid(bg: BitGrid, color_u8: bool = False) -> dict:
+def device_bitgrid(bg: BitGrid, color_u8: bool = False,
+                   skip_rows: bool = False) -> dict:
     # occupancy words interleaved as [B, 2] rows: ONE row gather per fetch —
     # measured 4.5x cheaper than two separate gathers on TPU (see PERF.md).
     # The tracer fetches [B, 4] quad rows (pair + parent pair — width is
@@ -392,6 +393,8 @@ def device_bitgrid(bg: BitGrid, color_u8: bool = False) -> dict:
         "palette": jnp.asarray(bg.palette, dtype=F32),
         "size": jnp.asarray(float(bg.size), dtype=F32),
     }
+    if skip_rows:
+        out["skip_rows"] = jnp.asarray(build_skip_rows(bg))
     if bg.mip_rgb is not None:
         for l, grid in enumerate(bg.mip_rgb):
             out[f"mip_rgb_{l}"] = jnp.asarray(grid, dtype=F32)
@@ -753,6 +756,194 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
     return trace
 
 
+def build_skip_rows(bg: BitGrid) -> np.ndarray:
+    """u32 [n0^3, 2*n_levels] fused-hierarchy rows: for every level-0 block,
+    the occupancy word pairs of ALL its ancestor blocks.
+
+    Row gathers are flat-cost up to 32 u32 of width (PERF.md gather-width
+    sweep), so one fetch can deliver the occupancy of every pyramid level
+    around a position — the whole ancestor chain the stack automaton spends
+    one fetch-iteration per level to discover.  A level-0 block's ancestors
+    are position-independent (block b at level k is ``b0 >> 2k``), so the
+    rows are a pure restructuring of the pyramid."""
+    Si = int(bg.size)
+    n0 = max((Si + 3) // 4, 1)
+    L = bg.n_levels
+    dims = []
+    c = Si
+    for _ in range(L):
+        dims.append(max((c + 3) // 4, 1))
+        c = dims[-1]
+    bases = [int(b) for b in bg.level_bases]
+    a = np.arange(n0**3)
+    ax, ay, az = a % n0, (a // n0) % n0, a // (n0 * n0)
+    rows = np.zeros((n0**3, 2 * L), dtype=np.uint32)
+    for k in range(L):
+        kx, ky, kz = ax >> (2 * k), ay >> (2 * k), az >> (2 * k)
+        idx = bases[k] + kx + ky * dims[k] + kz * dims[k] * dims[k]
+        rows[:, 2 * k] = bg.occ_lo[idx]
+        rows[:, 2 * k + 1] = bg.occ_hi[idx]
+    return rows
+
+
+def make_skip_tracer(bg: BitGrid, max_iters: int = 2048, substeps: int = 3):
+    """Fused-hierarchy tracer: the stack automaton's DESCEND/ASCEND fetch
+    chains collapse into ONE row fetch per move (``build_skip_rows``).
+
+    At any position the register row holds the occupancy words of every
+    pyramid level covering it, so each step (a) tests the voxel bit for a
+    hit, (b) otherwise advances across the LARGEST empty cell among the
+    levels still valid for the position — classic hierarchical empty-space
+    skipping with no stack, no restarts, and exactly one gather per
+    fetch-iteration.  Cell addressing is integer (voxel coords carried as
+    int32), so there is no boundary-float fragility.
+
+    State layout matches ``make_bitgrid_tracer`` where the compaction
+    machinery cares: [0]=point, [10]=active, [11]=hit, [12]=hvox,
+    [13]=hnormal.  Reference semantics: first occupied voxel along the ray
+    (src/raytracing/cpu.rs get_by_ray), identical to the stack tracer.
+    """
+    S = float(bg.size)
+    Si = int(bg.size)
+    n_levels = bg.n_levels
+    n0 = max((Si + 3) // 4, 1)
+    top_block = float(4 ** n_levels)
+
+    def fetch(tree, v):
+        b0 = jnp.clip(jnp.right_shift(v, 2), 0, n0 - 1)
+        addr = b0[:, 0] + b0[:, 1] * n0 + b0[:, 2] * n0 * n0
+        rows = tree["skip_rows"][addr]  # ONE [R, 2L] row gather
+        return rows, b0
+
+    def init(tree, o, dirv, start_t=None):
+        R = o.shape[0]
+        size = tree["size"]
+        sf = jnp.stack(
+            [
+                jnp.sqrt(1.0 + (dirv[:, 2] / dirv[:, 0]) ** 2 + (dirv[:, 1] / dirv[:, 0]) ** 2),
+                jnp.sqrt((dirv[:, 0] / dirv[:, 1]) ** 2 + 1.0 + (dirv[:, 2] / dirv[:, 1]) ** 2),
+                jnp.sqrt((dirv[:, 0] / dirv[:, 2]) ** 2 + (dirv[:, 1] / dirv[:, 2]) ** 2 + 1.0),
+            ],
+            axis=-1,
+        )
+        t_lo = (0.0 - o) / dirv
+        t_hi = (size - o) / dirv
+        per_min = jnp.fmin(t_lo, t_hi)
+        per_max = jnp.fmax(t_lo, t_hi)
+        tmin_r = jnp.fmax(jnp.fmax(per_min[:, 0], per_min[:, 1]), per_min[:, 2])
+        tmax_r = jnp.fmin(jnp.fmin(per_max[:, 0], per_max[:, 1]), per_max[:, 2])
+        root_hit = ~((tmax_r < 0.0) | (tmin_r > tmax_r))
+        enter = jnp.maximum(tmin_r, 0.0)
+        if start_t is not None:
+            enter = jnp.clip(
+                jnp.maximum(enter, start_t), 0.0, jnp.maximum(tmax_r - 1e-3, 0.0)
+            )
+        point = o + dirv * enter[:, None]
+        v = jnp.clip(jnp.floor(point).astype(I32), 0, Si - 1)
+        rows, b0 = fetch(tree, v)
+        zb = jnp.zeros(R, dtype=jnp.bool_)
+        return (point, v, rows, dirv, sf, b0,
+                o,  # origin (distance/LOD hooks)
+                zb, zb, zb,  # padding: keeps the shared state indices
+                root_hit,  # [10] active
+                jnp.zeros(R, dtype=jnp.bool_),  # [11] hit
+                jnp.zeros((R, 3), dtype=I32),  # [12] hvox
+                jnp.zeros((R, 3), dtype=F32),  # [13] hnormal
+                )
+
+    def body(tree, st):
+        (point, v, rows, dirv, sf, b0, origin, f7, f8, f9,
+         active, hit, hvox, hnormal) = st
+        R = point.shape[0]
+
+        p, vv, act = point, v, active
+        for _ in range(substeps):
+            # per-level occupancy + validity of the register row at vv
+            valids, occs = [], []
+            for k in range(n_levels):
+                cell = jnp.right_shift(vv, 2 * k)
+                blk = jnp.right_shift(cell, 2)
+                valid = jnp.all(blk == jnp.right_shift(b0, 2 * k), axis=-1)
+                w = cell & 3
+                s = w[:, 0] + w[:, 1] * 4 + w[:, 2] * 16
+                bit = _occ_bit_v(rows[:, 2 * k], rows[:, 2 * k + 1], s) != 0
+                valids.append(valid)
+                occs.append(bit)
+
+            found = act & valids[0] & occs[0]
+            nrm = _impact_normal_v(vv.astype(F32), jnp.ones(R, F32), p)
+            hit = hit | found
+            hvox = jnp.where(found[:, None], vv, hvox)
+            hnormal = jnp.where(found[:, None], nrm, hnormal)
+            act = act & (~found)
+
+            # largest valid EMPTY cell -> the skip level
+            k_sel = jnp.full(R, -1, dtype=I32)
+            for k in range(n_levels):
+                k_sel = jnp.where(valids[k] & (~occs[k]), k, k_sel)
+            can_adv = act & (k_sel >= 0)  # else: row stale, wait for fetch
+
+            csz_i = jnp.left_shift(1, 2 * jnp.maximum(k_sel, 0))  # [R]
+            cmin_i = (vv // csz_i[:, None]) * csz_i[:, None]
+            new_p, stp = _dda_step_v(dirv, sf, p, cmin_i.astype(F32),
+                                     csz_i.astype(F32))
+            sti = stp.astype(I32)
+            # crossing axes: exact integer cell step; others: clip into cell
+            cell_new = cmin_i // csz_i[:, None] + sti
+            v_cross = cell_new * csz_i[:, None] + jnp.where(
+                sti > 0, 0, csz_i[:, None] - 1
+            )
+            v_stay = jnp.clip(
+                jnp.floor(new_p).astype(I32), cmin_i, cmin_i + csz_i[:, None] - 1
+            )
+            v_new = jnp.where(sti != 0, v_cross, v_stay)
+            out = jnp.any((v_new < 0) | (v_new >= Si), axis=-1)
+            act = act & ~(can_adv & out)
+            apply = can_adv & (~out)
+            p = jnp.where(apply[:, None], new_p, p)
+            vv = jnp.where(apply[:, None], v_new, vv)
+
+        rows, b0 = fetch(tree, vv)  # one gather per body iteration
+        return (p, vv, rows, dirv, sf, b0, origin, f7, f8, f9,
+                act, hit, hvox, hnormal)
+
+    ACTIVE = 10
+
+    def run(tree, state, iters):
+        def cond(carry):
+            st, i = carry
+            return jnp.any(st[ACTIVE]) & (i < iters)
+
+        def step(carry):
+            st, i = carry
+            return body(tree, st), i + 1
+
+        state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
+        return state, jnp.sum(state[ACTIVE])
+
+    def resolve_color(tree, hit, hvox):
+        v = jnp.clip(hvox, 0, Si - 1)
+        caddr = v[:, 0] + v[:, 1] * Si + v[:, 2] * Si * Si
+        cvals = tree["colors"][caddr]
+        colorless = 254 if cvals.dtype == jnp.uint8 else COLOR_NONE
+        cidx = cvals.astype(I32)
+        return jnp.where(
+            hit, jnp.where(cidx >= colorless, I32(0x3FFFFFFE), cidx), EMPTY_DESC
+        )
+
+    def trace(tree, o, dirv, start_t=None):
+        state = init(tree, o, dirv, start_t)
+        state, _ = run(tree, state, max_iters)
+        point, hit, hvox, hnormal = state[0], state[11], state[12], state[13]
+        voxel = resolve_color(tree, hit, hvox)
+        return hit, voxel, hvox, point, hnormal
+
+    trace.init = init
+    trace.run = run
+    trace.resolve_color = resolve_color
+    return trace
+
+
 class BitGridRenderer:
     """Whole-frame renderer over the dense bitmap pyramid."""
 
@@ -767,6 +958,8 @@ class BitGridRenderer:
         advance_substeps: int = 4,
         auto_plan: bool = False,
         color_u8: bool = False,
+        tracer: str = "stack",
+        skip_substeps: int = 3,
     ):
         self.prepass_levels = prepass_levels
         # color_u8: store the device color grid as u8 when the palette fits
@@ -784,13 +977,22 @@ class BitGridRenderer:
         self._plans = {}
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
         self.bitgrid = bg
-        self.tree = device_bitgrid(bg, color_u8=color_u8)
+        # tracer="skip": the fused-hierarchy tracer (one row fetch serves
+        # every pyramid level — see make_skip_tracer); "stack": the
+        # reference-automaton formulation
+        self.tracer_kind = tracer
+        self.tree = device_bitgrid(bg, color_u8=color_u8,
+                                   skip_rows=(tracer == "skip"))
         self.prepass = prepass
         self._max_iters = max_iters
-        self._trace = make_bitgrid_tracer(bg, max_iters=max_iters,
-                                          lateral_step=lateral_step,
-                                          parent_skip=parent_skip,
-                                          advance_substeps=advance_substeps)
+        if tracer == "skip":
+            self._trace = make_skip_tracer(bg, max_iters=max_iters,
+                                           substeps=skip_substeps)
+        else:
+            self._trace = make_bitgrid_tracer(bg, max_iters=max_iters,
+                                              lateral_step=lateral_step,
+                                              parent_skip=parent_skip,
+                                              advance_substeps=advance_substeps)
         self._trace_jit = jax.jit(self._trace)
 
         def _scatter(state, orig, hit, hvox, hnormal, hpoint):
