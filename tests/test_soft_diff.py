@@ -151,10 +151,22 @@ def test_multihit_compacted_matches_plain():
     dirs = dirs.astype(np.float32)
 
     c1, v1, d1 = r.trace_hits(origins, dirs, compact=False)
-    c2, v2, d2 = r.trace_hits_compacted(origins, dirs)
+    # min_bucket small enough that compaction actually fires mid-segment:
+    # the round-1 default (8192 > ray count) never compacted, hiding a
+    # dropped-hit-rays bug this test now guards against
+    c2, v2, d2 = r.trace_hits_compacted(origins, dirs, min_bucket=256)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6, atol=1e-5)
+
+    # the skip-tracer variant must agree too (its own continue-state path);
+    # voxels/counts exactly, distances to float-path tolerance (the two
+    # formulations advance the impact point through different float chains)
+    r_skip = SoftRenderer(tree, max_hits=3, tracer="skip")
+    c3, v3, d3 = r_skip.trace_hits_compacted(origins, dirs, min_bucket=256)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c3))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v3))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d3), atol=1e-2)
 
 
 def test_candidate_dilation_grows_missing_voxel():

@@ -88,10 +88,12 @@ def make_multihit_tracer(bg: BitGrid, max_hits: int = 4, max_iters: int = 2048):
 class SoftRenderer:
     """Differentiable renderer over dense per-voxel (albedo, opacity) params."""
 
-    def __init__(self, source, max_hits: int = 4, max_iters: int = 2048):
+    def __init__(self, source, max_hits: int = 4, max_iters: int = 2048,
+                 tracer: str = "stack"):
         bg = source if isinstance(source, BitGrid) else bgmod.build_bitgrid(source)
         self.bitgrid = bg
-        self.tree = device_bitgrid(bg)
+        self.tracer_kind = tracer
+        self.tree = device_bitgrid(bg, skip_rows=(tracer == "skip"))
         self.size = int(bg.size)
         self.max_hits = int(max_hits)
         self._max_iters = int(max_iters)
@@ -99,36 +101,54 @@ class SoftRenderer:
                                                    max_iters=max_iters))
         self._compact_renderer = None
 
-        import functools
-
-        @functools.partial(jax.jit, static_argnums=5)
-        def _seg_scatter(voxels, dists, state, orig, o_full, k):
-            hit, hvox, point = state[11], state[12], state[0]
-            d = jnp.linalg.norm(point - o_full[orig], axis=-1)
-            voxels = voxels.at[orig, k, :].set(
-                jnp.where(hit[:, None], hvox, -1)
-            )
-            dists = dists.at[orig, k].set(jnp.where(hit, d, jnp.inf))
-            return voxels, dists
+        K = self.max_hits
 
         @jax.jit
-        def _continue_state(state):
-            """Clear each hit voxel's bit in the register occupancy words and
-            keep ONLY the rays that hit marching (misses are finished)."""
-            hit, tsect = state[11], state[1]
-            s = jnp.clip(tsect, 0, 63)
+        def _hit_step(voxels, dists, state, orig, cursor, o_full):
+            """Record this round's hits at each ray's cursor slot, clear the
+            hit voxel's bit in the register words, and reactivate rays that
+            still want more hits.  Returns the live count so the host round
+            loop can compact on it — finished rays (missed, or K hits) are
+            the ONLY rays compaction drops."""
+            hit, hvox, point = state[11], state[12], state[0]
+            kidx = jnp.clip(cursor, 0, K - 1)
+            dnorm = jnp.linalg.norm(point - o_full[orig], axis=-1)
+            row = jnp.where(hit, orig, voxels.shape[0])  # non-hit -> dropped
+            voxels = voxels.at[row, kidx].set(hvox, mode="drop")
+            dists = dists.at[row, kidx].set(dnorm, mode="drop")
+            new_cursor = cursor + hit
+            reactivate = hit & (new_cursor < K)
+
+            if tracer == "skip":
+                v, rows = state[1], state[2]
+                w = v & 3
+                s = w[:, 0] + w[:, 1] * 4 + w[:, 2] * 16
+            else:
+                s = jnp.clip(state[1], 0, 63)
             bit_lo = jnp.where(s < 32, jnp.uint32(1) << s.astype(jnp.uint32), 0)
             bit_hi = jnp.where(
                 s >= 32, jnp.uint32(1) << (s - 32).astype(jnp.uint32), 0
             )
-            occ_lo = jnp.where(hit, state[5] & ~bit_lo, state[5])
-            occ_hi = jnp.where(hit, state[6] & ~bit_hi, state[6])
-            return (state[0], state[1], state[2], state[3], state[4],
-                    occ_lo, occ_hi, state[7], state[8], state[9],
-                    hit, jnp.zeros_like(hit)) + tuple(state[12:])
+            active = state[10] | reactivate
+            no_hit = jnp.zeros_like(hit)
+            if tracer == "skip":
+                rows = rows.at[:, 0].set(
+                    jnp.where(reactivate, rows[:, 0] & ~bit_lo, rows[:, 0])
+                )
+                rows = rows.at[:, 1].set(
+                    jnp.where(reactivate, rows[:, 1] & ~bit_hi, rows[:, 1])
+                )
+                state = (state[0], state[1], rows) + tuple(state[3:10]) + (
+                    active, no_hit) + tuple(state[12:])
+            else:
+                occ_lo = jnp.where(reactivate, state[5] & ~bit_lo, state[5])
+                occ_hi = jnp.where(reactivate, state[6] & ~bit_hi, state[6])
+                state = (state[0], state[1], state[2], state[3], state[4],
+                         occ_lo, occ_hi, state[7], state[8], state[9],
+                         active, no_hit) + tuple(state[12:])
+            return voxels, dists, new_cursor, state, jnp.sum(active)
 
-        self._seg_scatter = _seg_scatter
-        self._continue_state = _continue_state
+        self._hit_step = _hit_step
 
     def init_params(self, init_opacity: float = 0.99):
         """Dense albedo [S^3, 3] + opacity logits [S^3] from the scene."""
@@ -156,17 +176,25 @@ class SoftRenderer:
         self, origins, dirs, round_iters: int = 14, shrink: int = 4,
         min_bucket: int = 8192,
     ):
-        """Multi-hit march with straggler compaction BETWEEN segments: rays
-        that missed in segment k are done and drop out before segment k+1
-        marches (the plain tracer pays K serial full-width marches).  Same
+        """Multi-hit march with straggler compaction, single pass: each ray
+        records hits at its own cursor slot and resumes immediately (the
+        plain tracer pays K serial full-width marches); only FINISHED rays
+        (missed, or already holding K hits) drop out at compactions.  Same
         results as :func:`make_multihit_tracer`, host-driven like
         ``BitGridRenderer.trace_compacted`` and reusing its cached round
-        programs."""
+        programs.
+
+        (The round-1 segmented variant compacted on the ACTIVE mask between
+        segment rounds, silently dropping rays that had already hit — their
+        segment hit and all later hits were lost whenever a compaction fired
+        mid-segment.  The per-ray-cursor design removes the segment barrier
+        entirely.)"""
         if self._compact_renderer is None:
             from voxelhex_tpu.render.bitgrid import BitGridRenderer
 
             self._compact_renderer = BitGridRenderer(
-                self.bitgrid, max_iters=self._max_iters, prepass=False
+                self.bitgrid, max_iters=self._max_iters, prepass=False,
+                tracer=self.tracer_kind,
             )
         r = self._compact_renderer
         fns = r._compact_fns
@@ -178,6 +206,7 @@ class SoftRenderer:
         dists = jnp.full((R, K), jnp.inf, dtype=F32)
         state = fns["init"](r.tree, o, d, None)
         orig = jnp.arange(R, dtype=I32)
+        cursor = jnp.zeros(R, dtype=I32)
 
         def shrink_to(cur, n_live):
             bucket = cur
@@ -185,35 +214,26 @@ class SoftRenderer:
                 bucket //= shrink
             return bucket
 
-        for k in range(K):
-            total_iters = 0
-            while True:
-                cur = state[0].shape[0]
-                iters = round_iters if cur >= R else 4 * round_iters
-                # never march past the plain tracer's iteration cap: an
-                # overshooting final round would find hits the plain tracer
-                # truncates, breaking exact parity
-                iters = min(iters, self._max_iters - total_iters)
-                state, n_dev = fns["run"](r.tree, state, iters)
-                total_iters += iters
-                n = int(n_dev)
-                if n == 0 or total_iters >= self._max_iters:
-                    break
-                bucket = shrink_to(cur, n)
-                if bucket < cur:
-                    perm = fns["perm"](state[10], bucket)
-                    state, orig = fns["apply_perm"](state, orig, perm)
-            voxels, dists = self._seg_scatter(voxels, dists, state, orig, o, k)
-            if k + 1 >= K:
+        # cap matching the plain tracer: K marches of max_iters each
+        total_iters = 0
+        budget = self._max_iters * K
+        while True:
+            cur = state[0].shape[0]
+            iters = round_iters if cur >= R else 4 * round_iters
+            iters = min(iters, budget - total_iters)
+            state, _n = fns["run"](r.tree, state, iters)
+            total_iters += iters
+            voxels, dists, cursor, state, n_live_dev = self._hit_step(
+                voxels, dists, state, orig, cursor, o
+            )
+            n_live = int(n_live_dev)
+            if n_live == 0 or total_iters >= budget:
                 break
-            state = self._continue_state(state)
-            n_cont = int(jnp.sum(state[10]))
-            if n_cont == 0:
-                break
-            bucket = shrink_to(state[0].shape[0], n_cont)
-            if bucket < state[0].shape[0]:
+            bucket = shrink_to(cur, n_live)
+            if bucket < cur:
                 perm = fns["perm"](state[10], bucket)
                 state, orig = fns["apply_perm"](state, orig, perm)
+                cursor = cursor[perm]
         count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
         return count, voxels, dists
 
