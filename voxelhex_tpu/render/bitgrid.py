@@ -766,6 +766,15 @@ def build_skip_rows(bg: BitGrid) -> np.ndarray:
     one fetch-iteration per level to discover.  A level-0 block's ancestors
     are position-independent (block b at level k is ``b0 >> 2k``), so the
     rows are a pure restructuring of the pyramid."""
+    pairs = np.stack([bg.occ_lo, bg.occ_hi], axis=1)
+    return skip_rows_from_pairs(pairs, skip_row_index(bg))
+
+
+def skip_row_index(bg: BitGrid) -> np.ndarray:
+    """int32 [n0^3, n_levels]: for every level-0 block, the flat pyramid
+    index of each ancestor's word pair — the static gather map that derives
+    ``skip_rows`` from ``occ_pairs`` (host- or device-side:
+    ``pairs[idx].reshape(n0^3, 2L)``)."""
     Si = int(bg.size)
     n0 = max((Si + 3) // 4, 1)
     L = bg.n_levels
@@ -777,13 +786,22 @@ def build_skip_rows(bg: BitGrid) -> np.ndarray:
     bases = [int(b) for b in bg.level_bases]
     a = np.arange(n0**3)
     ax, ay, az = a % n0, (a // n0) % n0, a // (n0 * n0)
-    rows = np.zeros((n0**3, 2 * L), dtype=np.uint32)
+    idx = np.zeros((n0**3, L), dtype=np.int32)
     for k in range(L):
         kx, ky, kz = ax >> (2 * k), ay >> (2 * k), az >> (2 * k)
-        idx = bases[k] + kx + ky * dims[k] + kz * dims[k] * dims[k]
-        rows[:, 2 * k] = bg.occ_lo[idx]
-        rows[:, 2 * k + 1] = bg.occ_hi[idx]
-    return rows
+        idx[:, k] = bases[k] + kx + ky * dims[k] + kz * dims[k] * dims[k]
+    return idx
+
+
+def skip_rows_from_pairs(pairs, idx):
+    """Derive the fused-hierarchy rows from the occ word pairs (jittable;
+    used by the streaming delta paths to refresh ``skip_rows`` on device
+    after any occupancy mutation)."""
+    L = idx.shape[1]
+    return pairs[idx].reshape(idx.shape[0], 2 * L)
+
+
+_skip_rows_from_pairs_jit = jax.jit(skip_rows_from_pairs)
 
 
 def make_skip_tracer(bg: BitGrid, max_iters: int = 2048, substeps: int = 3):

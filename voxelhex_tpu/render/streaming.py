@@ -305,12 +305,16 @@ class FarField:
                 palette=self._device_palette(),
             )
             if self.renderer is None:
-                self.renderer = BitGridRenderer(bg)
+                self.renderer = BitGridRenderer(
+                    bg, tracer=self.view.tracer_kind
+                )
             else:
                 from voxelhex_tpu.render.bitgrid import device_bitgrid
 
                 self.renderer.bitgrid = bg
-                self.renderer.tree = device_bitgrid(bg)
+                self.renderer.tree = device_bitgrid(
+                    bg, skip_rows=(self.view.tracer_kind == "skip")
+                )
             return
 
         # window move only: occupancy words changed, colors did not
@@ -332,6 +336,17 @@ class FarField:
         tree_dev["occ_quads"] = _quads_from_pairs_jit(
             tree_dev["occ_pairs"], self._pidx
         )
+        if "skip_rows" in tree_dev:
+            from voxelhex_tpu.render.bitgrid import (
+                _skip_rows_from_pairs_jit,
+                skip_row_index,
+            )
+
+            if getattr(self, "_skipidx", None) is None:
+                self._skipidx = jnp.asarray(skip_row_index(bg))
+            tree_dev["skip_rows"] = _skip_rows_from_pairs_jit(
+                tree_dev["occ_pairs"], self._skipidx
+            )
 
 
 class StreamingView:
@@ -347,9 +362,11 @@ class StreamingView:
         async_uploads: bool = False,
         occlusion_prune: bool = True,
         far_field: bool = True,
+        tracer: str = "stack",
     ):
         assert view_size % REGION == 0
         self.tree = tree
+        self.tracer_kind = tracer
         # far-field LOD: content beyond the window renders at coarse MIP
         # colors out to the world edge (reference: the whole scene stays
         # renderable, upload_queue.rs:150-207 + probe_MIP).  Only active
@@ -955,6 +972,18 @@ class StreamingView:
         if pidx is None or pidx.shape[0] != pairs.shape[0]:
             self._pidx_dev = pidx = jnp.asarray(parent_index(self.renderer.bitgrid))
         tree_dev["occ_quads"] = _quads_from_pairs_jit(pairs, pidx)
+        if "skip_rows" in tree_dev:
+            from voxelhex_tpu.render.bitgrid import (
+                _skip_rows_from_pairs_jit,
+                skip_row_index,
+            )
+
+            sidx = getattr(self, "_skipidx_dev", None)
+            if sidx is None:
+                self._skipidx_dev = sidx = jnp.asarray(
+                    skip_row_index(self.renderer.bitgrid)
+                )
+            tree_dev["skip_rows"] = _skip_rows_from_pairs_jit(pairs, sidx)
 
     def _rebuild_device(self):
         """Repack the pyramid and refresh the device arrays."""
@@ -979,14 +1008,16 @@ class StreamingView:
             palette=palette,
         )
         if self.renderer is None:
-            self.renderer = BitGridRenderer(bg)
+            self.renderer = BitGridRenderer(bg, tracer=self.tracer_kind)
         else:
             # the tracer's structure (levels/bases/dims) only depends on the
             # view size, so re-upload arrays instead of re-jitting
             from voxelhex_tpu.render.bitgrid import device_bitgrid
 
             self.renderer.bitgrid = bg
-            self.renderer.tree = device_bitgrid(bg)
+            self.renderer.tree = device_bitgrid(
+                bg, skip_rows=(self.tracer_kind == "skip")
+            )
 
     # ------------------------------------------------------------------
 
