@@ -1263,13 +1263,14 @@ class BitGridRenderer:
     # 3^3-dilated occupied cell no farther along.  L is chosen per camera
     # so the bound holds out to the farthest world corner; beams that can't
     # finish (iteration cap / restart cap) fall back to start=0.  Results
-    # are VOXEL-exact vs the plain render (same hit mask, same hit voxel —
-    # tests/test_bitgrid.py); the shaded frame can diverge on a ppm scale
-    # at high resolutions (7 / 2.07M pixels at 1080p measured): a ray
-    # re-seeded at start_t follows a different f32 DDA path, and on
-    # edge-grazing impacts the normal heuristic's dominant axis flips in
-    # the float low bits (the reference marks these edge cases flaky,
-    # raytracing/tests.rs:87).
+    # preserve the hit mask exactly; hit voxels and shading can diverge on
+    # a ppm scale at high resolutions (measured at 1080p: 5 / 2.07M rays
+    # resolve to an ADJACENT voxel on TPU, 7 shading-only diffs on CPU): a
+    # ray re-seeded at start_t follows a different f32 DDA path, and an
+    # edge-grazing ray's corner crossing — or its impact normal's dominant
+    # axis — flips in the float low bits (the reference marks the same
+    # edge cases flaky, raytracing/tests.rs:87; tests/test_bitgrid.py
+    # holds exactness at test scale).
     # (The reference's closest analog is the half-res depth prepass,
     # viewport_render.wgsl:184-203,711-726 — which is NOT conservative and
     # relies on a reliability cutoff; the beam grid gives exactness and
