@@ -94,6 +94,20 @@ def main():
     print(f"dead tiles: {(start >= 1e8).mean():.1%}  "
           f"median start: {np.median(start[start < 1e8]):.1f}", flush=True)
 
+    # beamP: beam + planned schedules (auto_plan) — the round-0 compaction
+    # bucket rides the plan, so a planned beam frame has ZERO blocking host
+    # reads before the schedule's one batched count fetch.  Separate
+    # renderer instance (plans are per-instance); warm twice: the first
+    # frame records the plan, the second replays it.
+    rp = BitGridRenderer(flat, auto_plan=True)
+    beam_p = np.asarray(rp.render(cam, beam_prepass=True, out_u8=True))
+    ppm = float(np.any(base != beam_p, axis=-1).mean()) * 1e6
+    assert ppm <= 20.0, f"beamP: {ppm:.1f} ppm frame divergence"
+    beam_p2 = np.asarray(rp.render(cam, beam_prepass=True, out_u8=True))
+    assert np.array_equal(beam_p, beam_p2), "planned beam differs from adaptive beam"
+    print(f"beamP: frame divergence {ppm:.2f} ppm; planned == adaptive",
+          flush=True)
+
     def frame(mode):
         t0 = time.time()
         if mode == "off":
@@ -102,18 +116,23 @@ def main():
         elif mode == "beam":
             r.beam_first_iters = None
             np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
+        elif mode == "beamP":
+            np.asarray(rp.render(cam, beam_prepass=True, out_u8=True))
         else:
             r.beam_first_iters = args.first_iters
             np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
         dt = time.time() - t0
-        stats = r.last_stats
+        stats = rp.last_stats if mode == "beamP" else r.last_stats
         rounds = [(rd["bucket"], rd["iters"], rd["n_active"]) for rd in stats["rounds"]]
-        print(f"{mode:6s}: {dt*1000:7.1f} ms  rounds={rounds}", flush=True)
+        pre = stats.get("pre")
+        ptxt = (f" pre={pre['n_alive']}→{pre['bucket']}" if pre else "")
+        print(f"{mode:6s}: {dt*1000:7.1f} ms {ptxt} rounds={rounds}", flush=True)
         return dt
 
-    results = {"off": [], "beam": [], "beam8": []}
+    modes = ("off", "beam", "beam8", "beamP")
+    results = {m: [] for m in modes}
     for _ in range(args.frames):
-        for mode in ("off", "beam", "beam8"):
+        for mode in modes:
             results[mode].append(frame(mode))
     for mode, ts in results.items():
         print(f"{mode:6s}: best {min(ts)*1000:7.1f} ms  "

@@ -402,7 +402,7 @@ def device_bitgrid(bg: BitGrid, color_u8: bool = False,
 
 
 def plan_from_rounds(rounds, shrink: int = 4, min_bucket: int = 8192,
-                     margin: float = 1.0):
+                     margin: float = 1.0, pre=None):
     """Derive a fixed (iters, compact-to-bucket) schedule from a previous
     frame's per-round stats.  ``bucket=None`` means "no compaction after
     this round".  Buckets stay on the same shrink-ladder as the adaptive
@@ -416,13 +416,30 @@ def plan_from_rounds(rounds, shrink: int = 4, min_bucket: int = 8192,
     frame, whereas an occasional overflow costs one adaptive retrace)."""
     if not rounds:
         return None
+
+    def _wrap(plan):
+        # ``pre``: the round-0 compaction stats of the recorded frame
+        # ({n_alive, bucket, R0}).  A planned pre bucket lets the next
+        # frame pack beam-proved-dead rays away with NO blocking host read
+        # (the alive count joins the schedule's batched fetch; overflow ->
+        # adaptive retrace, like any other planned bucket).
+        if pre is None or pre.get("n_alive") is None:
+            return plan
+        R0 = pre["R0"]
+        b = R0
+        while b // shrink >= max(pre["n_alive"], min_bucket):
+            b //= shrink
+        if b < margin * max(pre["n_alive"], 1):
+            b = min(b * shrink, R0)
+        return {"pre": (b if b < R0 else None), "rounds": plan}
+
     plan = []
     cur = rounds[0]["bucket"]
     for r in rounds:
         n_act = r["n_active"]
         if n_act == 0:
             plan.append((r["iters"], None))
-            return plan
+            return _wrap(plan)
         target = max(n_act, min_bucket)
         bucket = cur
         while bucket // shrink >= target:
@@ -431,7 +448,8 @@ def plan_from_rounds(rounds, shrink: int = 4, min_bucket: int = 8192,
             bucket = min(bucket * shrink, cur)
         plan.append((r["iters"], bucket if bucket < cur else None))
         cur = min(bucket, cur)
-    return plan  # previous frame ended with actives (max_iters); replay + adapt
+    # previous frame ended with actives (max_iters); replay + adapt
+    return _wrap(plan)
 
 
 def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4,
@@ -508,6 +526,13 @@ def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 
         root_hit = ~((tmax_r < 0.0) | (tmin_r > tmax_r))
         enter = jnp.maximum(tmin_r, 0.0)
         if start_t is not None:
+            # a caller-guaranteed conservative start at or beyond the box
+            # exit proves the ray misses everything: deactivate it AT INIT
+            # so a pre-round-0 compaction (trace_compacted) can drop it
+            # before the expensive full-width first round ever runs.
+            # (Previously such rays marched 1-2 iterations from just inside
+            # the exit and died — same miss, full-width cost.)
+            root_hit = root_hit & (start_t < tmax_r)
             enter = jnp.clip(
                 jnp.maximum(enter, start_t), 0.0, jnp.maximum(tmax_r - 1e-3, 0.0)
             )
@@ -853,6 +878,9 @@ def make_skip_tracer(bg: BitGrid, max_iters: int = 2048, substeps: int = 3):
         root_hit = ~((tmax_r < 0.0) | (tmin_r > tmax_r))
         enter = jnp.maximum(tmin_r, 0.0)
         if start_t is not None:
+            # see make_bitgrid_tracer.init: a start at/beyond the box exit
+            # proves a miss — deactivate for the pre-round-0 compaction
+            root_hit = root_hit & (start_t < tmax_r)
             enter = jnp.clip(
                 jnp.maximum(enter, start_t), 0.0, jnp.maximum(tmax_r - 1e-3, 0.0)
             )
@@ -1052,6 +1080,7 @@ class BitGridRenderer:
             "finish": jax.jit(_finish),
             "perm": jax.jit(_perm, static_argnums=1),
             "apply_perm": jax.jit(_apply_perm),
+            "count": jax.jit(lambda st: jnp.sum(st[10].astype(I32))),
         }
         self._shade_only = jax.jit(
             lambda tree, hit, voxel, normal, bgc: _shade(tree, hit, voxel, normal, bgc)
@@ -1503,10 +1532,64 @@ class BitGridRenderer:
 
         total_iters = 0
         R0 = R
+        # plans come in two shapes: a legacy list of (iters, bucket) pairs,
+        # or a dict {"pre": bucket-or-None, "rounds": [...]} that also plans
+        # the round-0 compaction bucket (below) so beam frames replay with
+        # ZERO blocking host reads before the schedule's one batched fetch
+        plan_pre = None
+        plan_rounds = plan
+        if isinstance(plan, dict):
+            plan_pre = plan.get("pre")
+            plan_rounds = plan.get("rounds")
+
+        def _pre_compact(state, bucket0):
+            # adopt the (all-miss) init accumulators, then pack survivors
+            hit, hvox, hnormal, hpoint = (
+                state[11], state[12], state[13], state[0]
+            )
+            orig = jnp.arange(R0, dtype=I32)
+            perm = fns["perm"](state[10], bucket0)
+            state, orig = fns["apply_perm"](state, orig, perm)
+            return state, orig, hit, hvox, hnormal, hpoint
+
+        pre = None
+        pre_count_dev = None
+        if st is not None:
+            # ROUND-0 COMPACTION: a conservative start_t (beam prepass)
+            # proves rays dead AT INIT (start >= box exit -> guaranteed
+            # miss, deactivated by init).  With sky-heavy cameras that is
+            # the MAJORITY of the frame (80.9% dead tiles measured on the
+            # 1080p bench scene), and compacting before round 1 takes the
+            # expensive full-width round to a ladder bucket sized to the
+            # survivors — the first round is ~80% of frame ray-iters.
+            if plan_rounds and plan_pre:
+                # planned pre bucket: no blocking count read here — the
+                # alive count joins the schedule's one batched fetch, where
+                # n_alive > bucket flags overflow and retraces adaptively
+                pre_count_dev = fns["count"](state)
+                state, orig, hit, hvox, hnormal, hpoint = _pre_compact(
+                    state, plan_pre
+                )
+                pre = {"n_alive": None, "bucket": int(plan_pre), "R0": R0,
+                       "planned": True}
+            else:
+                # adaptive: one scalar fetch — the same price the adaptive
+                # loop pays per round, but this one cannot overlap already-
+                # enqueued work (nothing is enqueued yet), so planned
+                # frames avoid it entirely via plan["pre"]
+                n0 = int(fns["count"](state))
+                bucket0 = R0
+                while bucket0 // shrink >= max(n0, min_bucket):
+                    bucket0 //= shrink
+                if bucket0 < R0:
+                    state, orig, hit, hvox, hnormal, hpoint = _pre_compact(
+                        state, bucket0
+                    )
+                pre = {"n_alive": int(n0), "bucket": int(bucket0), "R0": R0}
         done = False
-        if plan:
+        if plan_rounds:
             counts = []  # (bucket_during_round, iters, count_dev, next_bucket)
-            cur = R0
+            cur = state[0].shape[0]  # may already be pre-round-0 compacted
             for iters, bucket in plan:
                 state, n_active_dev = fns["run"](self.tree, state, iters)
                 counts.append((cur, iters, n_active_dev, bucket))
@@ -1524,9 +1607,19 @@ class BitGridRenderer:
                     perm = fns["perm"](state[10], bucket)
                     state, orig = fns["apply_perm"](state, orig, perm)
                     cur = bucket
-            # the schedule's ONLY blocking read: every straggler count at once
-            counts_h = np.asarray(jnp.stack([c[2] for c in counts]))
+            # the schedule's ONLY blocking read: every straggler count at
+            # once (plus the planned-pre alive count, if any)
+            stack = [c[2] for c in counts]
+            if pre_count_dev is not None:
+                stack.append(pre_count_dev)
+            counts_h = np.asarray(jnp.stack(stack))
+            last_round_n = int(counts_h[len(counts) - 1])
             overflow = False
+            if pre_count_dev is not None:
+                n0 = int(counts_h[len(counts)])
+                pre["n_alive"] = n0
+                if n0 > pre["bucket"]:
+                    overflow = True  # pre-compaction dropped live rays
             for i, (csize, iters, _c, bucket) in enumerate(counts):
                 n = int(counts_h[i])
                 rounds.append({"bucket": int(csize), "iters": int(iters),
@@ -1542,7 +1635,7 @@ class BitGridRenderer:
                     min_bucket=min_bucket, shade_bg=shade_bg,
                     first_round_iters=first_round_iters,
                 )
-            if int(counts_h[-1]) == 0:
+            if last_round_n == 0:
                 if orig is None:
                     hit, hvox, hnormal, hpoint = (
                         state[11], state[12], state[13], state[0]
@@ -1556,8 +1649,10 @@ class BitGridRenderer:
         while not done:
             cur = state[0].shape[0]
             # full-size rounds stay short (compaction opportunity); compacted
-            # buckets run long rounds to amortize dispatch latency
-            iters = round_iters if cur >= R0 else 4 * round_iters
+            # buckets run long rounds to amortize dispatch latency — except
+            # the FIRST round after a round-0 compaction, which is still the
+            # whole frame's march and wants the short-round/compact cadence
+            iters = round_iters if (cur >= R0 or total_iters == 0) else 4 * round_iters
             if total_iters == 0 and first_round_iters is not None:
                 # with a depth prepass most rays hit within a few steps of
                 # their start — the expensive full-width round can be shorter
@@ -1607,10 +1702,11 @@ class BitGridRenderer:
             "rounds": rounds,
             "trace_seconds": round(_time.time() - t_start, 4),
             "planned": bool(plan),
+            "pre": pre,  # round-0 compaction (beam dead-tile drop), or None
         }
         # remember a schedule for the next same-shaped frame (auto_plan)
         self._plans[plan_key] = plan_from_rounds(
-            rounds, shrink=shrink, min_bucket=min_bucket
+            rounds, shrink=shrink, min_bucket=min_bucket, pre=pre
         )
         if shade_bg is not None:
             # fused color + shade: one dispatch for the whole finish
