@@ -390,6 +390,49 @@ def test_beam_prepass_sparse_scene_kills_sky():
     )
 
 
+def test_beam_planned_pre_compaction_replay():
+    """beam + auto_plan: frame 1 records a dict plan carrying the round-0
+    compaction bucket ({pre, rounds}); frame 2 replays it with no blocking
+    pre-count read.  Frames must match the plain render exactly, and the
+    replayed frame must be planned with the pre bucket applied."""
+    tree = BoxTree(64, 4, auto_simplify=False)
+    for x in range(28, 36):
+        for y in range(28, 36):
+            for z in range(28, 36):
+                tree.insert((x, y, z), RED)
+    r = BitGridRenderer(tree, auto_plan=True)
+    # resolution large enough that the survivors fit a smaller ladder
+    # bucket (render() uses the default min_bucket=8192); the far orbit
+    # makes ~84% of tiles provably dead
+    cam = orbit_camera(64.0, distance_factor=3.0, resolution=(320, 240))
+    plain = r.render(cam, out_u8=True)
+    f1 = r.render(cam, beam_prepass=True, out_u8=True)  # records the plan
+    assert r.last_stats["pre"] is not None
+    assert r.last_stats["pre"]["bucket"] < 320 * 240  # sky actually dropped
+    f2 = r.render(cam, beam_prepass=True, out_u8=True)  # replays it
+    assert r.last_stats["planned"]
+    assert r.last_stats["pre"]["planned"]
+    assert r.last_stats["pre"]["n_alive"] is not None  # batched-fetch filled
+    np.testing.assert_array_equal(f1, plain)
+    np.testing.assert_array_equal(f2, plain)
+
+
+def test_beam_planned_pre_overflow_retraces():
+    """A planned pre bucket too small for the frame's live rays must be
+    detected by the batched count read and retraced adaptively."""
+    tree = make_scene(64, 4, seed=1)
+    r = BitGridRenderer(tree)
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    start = r.beam_start(cam)
+    o, d = __import__("voxelhex_tpu.render.camera", fromlist=["device_rays"]).device_rays(cam)
+    ref = r.trace_compacted(o, d, start_t=start, min_bucket=256)
+    bad = {"pre": 8, "rounds": [(14, None), (56, None)]}  # 8-ray pre bucket
+    out = r.trace_compacted(o, d, start_t=start, min_bucket=256, plan=bad)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert not r.last_stats["planned"]  # fell back to the adaptive trace
+
+
 def test_beam_prepass_falls_back_gracefully():
     """Indivisible resolutions or unsatisfiable bounds return None and the
     render path silently uses the plain compacted trace."""

@@ -1590,7 +1590,7 @@ class BitGridRenderer:
         if plan_rounds:
             counts = []  # (bucket_during_round, iters, count_dev, next_bucket)
             cur = state[0].shape[0]  # may already be pre-round-0 compacted
-            for iters, bucket in plan:
+            for iters, bucket in plan_rounds:
                 state, n_active_dev = fns["run"](self.tree, state, iters)
                 counts.append((cur, iters, n_active_dev, bucket))
                 total_iters += iters
