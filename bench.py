@@ -93,13 +93,39 @@ def main():
 
     from voxelhex_tpu.render import fastest_renderer
 
-    renderer = fastest_renderer(flat)
+    renderer = fastest_renderer(flat, auto_plan=True)
     # warmup / compile (the remote-compile tunnel also adds per-shape
     # first-use costs beyond compilation)
     # uint8 device-side output (the reference's rgba8 texture convention);
     # the f32->u8 cast on device cuts the tunnel transfer 4x
     for _ in range(2):
         np.asarray(renderer.render(cam, out_u8=True))
+
+    # In-session auto-select: beam prepass + planned round-0 compaction
+    # does 4x less round-1 compute on this scene (80.9% provably-dead
+    # tiles) but adds a dispatch — whether that wins depends on the
+    # tunnel session's dispatch overhead (PERF.md "Beam prepass"), so
+    # measure both briefly and run the headline batches with the winner.
+    mode_kw = {}
+    if renderer.beam_start(cam) is not None:
+        for _ in range(2):  # warm beam shapes + record the plan
+            np.asarray(renderer.render(cam, beam_prepass=True, out_u8=True))
+
+        def _t(kw):
+            t0 = time.time()
+            np.asarray(renderer.render(cam, out_u8=True, **kw))
+            return time.time() - t0
+
+        beam_kw = {"beam_prepass": True}
+        t_plain = min(_t({}), _t({}))
+        t_beam = min(_t(beam_kw), _t(beam_kw))
+        if t_beam < t_plain:
+            mode_kw = beam_kw
+        print(
+            f"mode select: plain {t_plain*1e3:.0f} ms, beam {t_beam*1e3:.0f} ms"
+            f" -> {'beam' if mode_kw else 'plain'}",
+            file=sys.stderr,
+        )
 
     # throughput over a pipelined batch: frame downloads overlap the next
     # frame's compute (FramePipeline) — the reference's output likewise
@@ -112,7 +138,7 @@ def main():
 
     def timed_batch():
         t0 = time.time()
-        futs = [pipe.render(cam, out_u8=True) for _ in range(N)]
+        futs = [pipe.render(cam, out_u8=True, **mode_kw) for _ in range(N)]
         for f in futs:
             f.result()
         return (time.time() - t0) / N
