@@ -108,6 +108,22 @@ def main():
     print(f"beamP: frame divergence {ppm:.2f} ppm; planned == adaptive",
           flush=True)
 
+    # offF/beamF: fused planned frames — the whole schedule (init, round-0
+    # compaction, rounds, compactions, shade) as ONE dispatch
+    rf = BitGridRenderer(flat, fuse_plan=True)
+    off_f = np.asarray(rf.render(cam, out_u8=True))       # records plan
+    off_f2 = np.asarray(rf.render(cam, out_u8=True))      # fused replay
+    assert np.array_equal(off_f, base) and np.array_equal(off_f2, base), \
+        "fused plain frame differs"
+    assert rf.last_stats.get("fused")
+    beam_f = np.asarray(rf.render(cam, beam_prepass=True, out_u8=True))
+    beam_f2 = np.asarray(rf.render(cam, beam_prepass=True, out_u8=True))
+    assert np.array_equal(beam_f, beam_p) and np.array_equal(beam_f2, beam_p), \
+        "fused beam frame differs from planned beam"
+    assert rf.last_stats.get("fused") and rf.last_stats["pre"] is not None
+    print("offF/beamF fused frames bit-identical to their planned frames",
+          flush=True)
+
     def frame(mode):
         t0 = time.time()
         if mode == "off":
@@ -118,18 +134,23 @@ def main():
             np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
         elif mode == "beamP":
             np.asarray(rp.render(cam, beam_prepass=True, out_u8=True))
+        elif mode == "offF":
+            np.asarray(rf.render(cam, out_u8=True))
+        elif mode == "beamF":
+            np.asarray(rf.render(cam, beam_prepass=True, out_u8=True))
         else:
             r.beam_first_iters = args.first_iters
             np.asarray(r.render(cam, beam_prepass=True, out_u8=True))
         dt = time.time() - t0
-        stats = rp.last_stats if mode == "beamP" else r.last_stats
+        stats = {"beamP": rp.last_stats, "offF": rf.last_stats,
+                 "beamF": rf.last_stats}.get(mode, r.last_stats)
         rounds = [(rd["bucket"], rd["iters"], rd["n_active"]) for rd in stats["rounds"]]
         pre = stats.get("pre")
         ptxt = (f" pre={pre['n_alive']}→{pre['bucket']}" if pre else "")
         print(f"{mode:6s}: {dt*1000:7.1f} ms {ptxt} rounds={rounds}", flush=True)
         return dt
 
-    modes = ("off", "beam", "beam8", "beamP")
+    modes = ("off", "beam", "beamP", "offF", "beamF")
     results = {m: [] for m in modes}
     for _ in range(args.frames):
         for mode in modes:

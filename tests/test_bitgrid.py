@@ -417,6 +417,42 @@ def test_beam_planned_pre_compaction_replay():
     np.testing.assert_array_equal(f2, plain)
 
 
+def test_fused_plan_single_dispatch_frames():
+    """fuse_plan: once a plan exists, the whole frame (init, round-0
+    compaction, rounds, compactions, shade) runs as ONE jitted program.
+    Frames must equal the adaptive render exactly, with and without the
+    beam prepass; a changed scene viewpoint (fresh plan) still works."""
+    tree = BoxTree(64, 4, auto_simplify=False)
+    for x in range(28, 36):
+        for y in range(28, 36):
+            for z in range(28, 36):
+                tree.insert((x, y, z), RED)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cam = orbit_camera(64.0, distance_factor=3.0, resolution=(320, 240))
+    plain = r.render(cam, out_u8=True)
+    f1 = rf.render(cam, out_u8=True)  # adaptive (no plan yet) — records
+    f2 = rf.render(cam, out_u8=True)  # fused replay
+    assert rf.last_stats.get("fused")
+    np.testing.assert_array_equal(f1, plain)
+    np.testing.assert_array_equal(f2, plain)
+    b1 = rf.render(cam, beam_prepass=True, out_u8=True)  # records beam plan
+    b2 = rf.render(cam, beam_prepass=True, out_u8=True)  # fused, with pre
+    assert rf.last_stats.get("fused")
+    assert rf.last_stats["pre"] is not None
+    np.testing.assert_array_equal(b1, plain)
+    np.testing.assert_array_equal(b2, plain)
+    # a different camera invalidates nothing structurally — the fused
+    # program either replays fine or overflow-retraces adaptively
+    cam2 = orbit_camera(64.0, distance_factor=2.0, resolution=(320, 240))
+    np.testing.assert_array_equal(
+        rf.render(cam2, out_u8=True), r.render(cam2, out_u8=True)
+    )
+    np.testing.assert_array_equal(
+        rf.render(cam2, out_u8=True), r.render(cam2, out_u8=True)
+    )
+
+
 def test_beam_planned_pre_overflow_retraces():
     """A planned pre bucket too small for the frame's live rays must be
     detected by the batched count read and retraced adaptively."""

@@ -1003,6 +1003,7 @@ class BitGridRenderer:
         parent_skip: bool = False,
         advance_substeps: int = 4,
         auto_plan: bool = False,
+        fuse_plan: bool = False,
         color_u8: bool = False,
         tracer: str = "stack",
         skip_substeps: int = 3,
@@ -1020,6 +1021,17 @@ class BitGridRenderer:
         # already-enqueued work), so off by default; useful on links where
         # a blocking host round-trip is expensive.
         self.auto_plan = auto_plan
+        # fuse_plan: execute a planned frame as ONE jitted program — init,
+        # round-0 compaction, every round and compaction, color resolve and
+        # shading fused into a single dispatch (the plan's bucket ladder is
+        # static, so the whole schedule traces).  Kills per-dispatch
+        # overhead (the dominant cost in dispatch-bound tunnel sessions)
+        # and leaves exactly one blocking read per frame: the straggler/
+        # overflow counts.  Each distinct plan signature compiles once
+        # (persistent-cached); implies the auto_plan bookkeeping.
+        self.fuse_plan = fuse_plan
+        if fuse_plan:
+            self.auto_plan = True
         self._plans = {}
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
         self.bitgrid = bg
@@ -1082,6 +1094,10 @@ class BitGridRenderer:
             "apply_perm": jax.jit(_apply_perm),
             "count": jax.jit(lambda st: jnp.sum(st[10].astype(I32))),
         }
+        # unjitted building blocks for the fused whole-plan program
+        self._raw_fns = {"scatter": _scatter, "perm": _perm,
+                         "apply_perm": _apply_perm, "finish": _finish}
+        self._fused_fns = {}
         self._shade_only = jax.jit(
             lambda tree, hit, voxel, normal, bgc: _shade(tree, hit, voxel, normal, bgc)
         )
@@ -1496,6 +1512,138 @@ class BitGridRenderer:
         rgb = self._lod_cache[key](self.tree, o_d, d_d, jnp.asarray(bg, dtype=F32))
         return np.asarray(rgb).reshape(h, w, 3)
 
+    def _fused_plan_fn(self, R, preb, entries, has_start):
+        """One jitted program executing an entire planned frame: init,
+        optional round-0 compaction to ``preb``, every (iters, bucket)
+        round of ``entries``, the final scatter, color resolve and shading.
+        Returns (hit, voxel, hvox, hpoint, hnormal, rgb, counts) where
+        ``counts`` = [pre_alive?] + per-round straggler counts — the
+        frame's ONE blocking read, used for overflow detection."""
+        key = (R, preb, entries, has_start)
+        fn = self._fused_fns.get(key)
+        if fn is not None:
+            return fn
+        trace = self._trace
+        raw = self._raw_fns
+
+        def build(tree, o, dv, st, bgc):
+            state = trace.init(tree, o, dv, st if has_start else None)
+            counts = []
+            orig = None
+            hit = hvox = hnormal = hpoint = None
+
+            def adopt(state, cur):
+                return (state[11], state[12], state[13], state[0],
+                        jnp.arange(cur, dtype=I32))
+
+            if preb is not None:
+                counts.append(jnp.sum(state[10].astype(I32)))
+                hit, hvox, hnormal, hpoint, orig = adopt(state, R)
+                p = raw["perm"](state[10], preb)
+                state, orig = raw["apply_perm"](state, orig, p)
+            for iters, bucket in entries:
+                state, n = trace.run(tree, state, iters)
+                counts.append(n.astype(I32))
+                cur = state[0].shape[0]
+                if bucket is not None and bucket < cur:
+                    if orig is None:
+                        hit, hvox, hnormal, hpoint, orig = adopt(state, cur)
+                    else:
+                        hit, hvox, hnormal, hpoint = raw["scatter"](
+                            state, orig, hit, hvox, hnormal, hpoint
+                        )
+                    p = raw["perm"](state[10], bucket)
+                    state, orig = raw["apply_perm"](state, orig, p)
+            if orig is None:
+                hit, hvox, hnormal, hpoint = (
+                    state[11], state[12], state[13], state[0]
+                )
+            else:
+                hit, hvox, hnormal, hpoint = raw["scatter"](
+                    state, orig, hit, hvox, hnormal, hpoint
+                )
+            voxel, rgb = raw["finish"](tree, hit, hvox, hnormal, bgc)
+            return hit, voxel, hvox, hpoint, hnormal, rgb, jnp.stack(counts)
+
+        if has_start:
+            fn = jax.jit(build)
+        else:
+            fn = jax.jit(
+                lambda tree, o, dv, bgc: build(tree, o, dv, None, bgc)
+            )
+        self._fused_fns[key] = fn
+        return fn
+
+    def _trace_fused(self, origins, directions, o, dv, st, plan_pre,
+                     plan_rounds, shade_bg, plan_key, start_t, round_iters,
+                     shrink, min_bucket, first_round_iters):
+        """Planned frame as one dispatch (see _fused_plan_fn).  Falls back
+        to the adaptive loop when the plan overflowed or left stragglers."""
+        import time as _time
+
+        t_start = _time.time()
+        R = o.shape[0]
+        entries = tuple(
+            (int(i), (int(b) if b is not None else None))
+            for i, b in plan_rounds
+        )
+        preb = int(plan_pre) if (plan_pre and st is not None) else None
+        fn = self._fused_plan_fn(R, preb, entries, st is not None)
+        bgc = jnp.asarray(shade_bg, dtype=F32)
+        if st is not None:
+            hit, voxel, hvox, hpoint, hnormal, rgb, counts = fn(
+                self.tree, o, dv, st, bgc
+            )
+        else:
+            hit, voxel, hvox, hpoint, hnormal, rgb, counts = fn(
+                self.tree, o, dv, bgc
+            )
+        counts_h = np.asarray(counts)  # the frame's one blocking read
+        k = 0
+        pre = None
+        overflow = False
+        if preb is not None:
+            n0 = int(counts_h[0])
+            k = 1
+            pre = {"n_alive": n0, "bucket": preb, "R0": R, "planned": True}
+            if n0 > preb:
+                overflow = True
+        cur = preb if preb is not None else R
+        rounds = []
+        total_iters = 0
+        for i, (iters, bucket) in enumerate(entries):
+            n = int(counts_h[k + i])
+            rounds.append({"bucket": int(cur), "iters": int(iters),
+                           "n_active": n, "seconds": 0.0, "planned": True})
+            total_iters += iters
+            if bucket is not None and n > bucket:
+                overflow = True
+            if bucket is not None and bucket < cur:
+                cur = bucket
+        if overflow or int(counts_h[-1]) != 0:
+            # plan no longer fits this frame (or left live stragglers the
+            # fused program cannot extend): retrace adaptively, bit-exact
+            self._plans.pop(plan_key, None)
+            return self.trace_compacted(
+                origins, directions, start_t=start_t,
+                round_iters=round_iters, shrink=shrink,
+                min_bucket=min_bucket, shade_bg=shade_bg,
+                first_round_iters=first_round_iters,
+            )
+        self.last_stats = {
+            "rays": int(R),
+            "total_iters": int(total_iters),
+            "rounds": rounds,
+            "trace_seconds": round(_time.time() - t_start, 4),
+            "planned": True,
+            "fused": True,
+            "pre": pre,
+        }
+        self._plans[plan_key] = plan_from_rounds(
+            rounds, shrink=shrink, min_bucket=min_bucket, pre=pre
+        )
+        return hit, voxel, hvox, hpoint, hnormal, rgb
+
     def trace_compacted(
         self, origins, directions, start_t=None, round_iters: int = 14,
         shrink: int = 4, min_bucket: int = 8192, shade_bg=None,
@@ -1526,12 +1674,6 @@ class BitGridRenderer:
         plan_key = (R, start_t is not None, round_iters, first_round_iters)
         if plan is None and self.auto_plan:
             plan = self._plans.get(plan_key)
-        state = fns["init"](self.tree, o, dv, st)
-        orig = None  # None => identity mapping (no compaction happened yet)
-        hit = hvox = hnormal = hpoint = None
-
-        total_iters = 0
-        R0 = R
         # plans come in two shapes: a legacy list of (iters, bucket) pairs,
         # or a dict {"pre": bucket-or-None, "rounds": [...]} that also plans
         # the round-0 compaction bucket (below) so beam frames replay with
@@ -1541,6 +1683,21 @@ class BitGridRenderer:
         if isinstance(plan, dict):
             plan_pre = plan.get("pre")
             plan_rounds = plan.get("rounds")
+
+        if plan_rounds and self.fuse_plan and shade_bg is not None:
+            # whole planned frame as ONE dispatch (init fused in too)
+            return self._trace_fused(
+                origins, directions, o, dv, st, plan_pre, plan_rounds,
+                shade_bg, plan_key, start_t, round_iters, shrink,
+                min_bucket, first_round_iters,
+            )
+
+        state = fns["init"](self.tree, o, dv, st)
+        orig = None  # None => identity mapping (no compaction happened yet)
+        hit = hvox = hnormal = hpoint = None
+
+        total_iters = 0
+        R0 = R
 
         def _pre_compact(state, bucket0):
             # adopt the (all-miss) init accumulators, then pack survivors
