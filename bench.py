@@ -93,7 +93,11 @@ def main():
 
     from voxelhex_tpu.render import fastest_renderer
 
-    renderer = fastest_renderer(flat, auto_plan=True)
+    # fuse_plan: after the first (adaptive, plan-recording) frame, every
+    # frame runs as ONE fused dispatch — measured fastest in both
+    # dispatch-bound and compute-bound tunnel sessions (PERF.md "Fused
+    # planned frames"); bit-identical to the adaptive loop
+    renderer = fastest_renderer(flat, fuse_plan=True)
     # warmup / compile (the remote-compile tunnel also adds per-shape
     # first-use costs beyond compilation)
     # uint8 device-side output (the reference's rgba8 texture convention);
