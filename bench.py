@@ -168,25 +168,21 @@ def main():
     d_d = d_d.reshape(-1, 3)
     params = soft.init_params()
 
-    @jax.jit
-    def grad_step(params, voxels, target):
-        return jax.value_and_grad(lambda p: soft.loss(p, voxels, target))(params)
-
-    import jax.numpy as jnp  # noqa: F401  (kept: grad_step tracing)
-
     def fwdbwd_step():
         t0 = time.time()
-        _c, voxels, _t = soft.trace_hits(o_d, d_d, compact=True)
-        voxels = jax.lax.stop_gradient(voxels)
-        _loss, grads = grad_step(params, voxels, target)
+        c, voxels, _t = soft.trace_hits(o_d, d_d, compact=True)
+        # hit-compacted backward: no-hit (sky) rays carry exactly zero
+        # gradient, so the backward pass runs on the hit rays only —
+        # identical loss/grads (soft.grad_on_hits, parity-tested)
+        _loss, grads = soft.grad_on_hits(params, c, voxels, target)
         jax.block_until_ready(grads["logits"])
         return time.time() - t0
 
     # warm: compiles trace rounds + the grad program; target from the scene
-    _c, voxels_w, _t = soft.trace_hits(o_d, d_d, compact=True)
+    c_w, voxels_w, _t = soft.trace_hits(o_d, d_d, compact=True)
     voxels_w = jax.lax.stop_gradient(voxels_w)
     target = jax.lax.stop_gradient(soft.composite(params, voxels_w))
-    _l, _g = grad_step(params, voxels_w, target)
+    _l, _g = soft.grad_on_hits(params, c_w, voxels_w, target)
     jax.block_until_ready(_g["logits"])
     best_bwd = min(fwdbwd_step() for _ in range(3))
     rays_per_sec_bwd = rays / best_bwd

@@ -159,6 +159,15 @@ def test_multihit_compacted_matches_plain():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6, atol=1e-5)
 
+    # second call replays the recorded schedule as ONE fused program —
+    # must be identical to the adaptive pass (and hence the plain tracer)
+    assert r._soft_plans  # the adaptive pass recorded a schedule
+    c2f, v2f, d2f = r.trace_hits_compacted(origins, dirs, min_bucket=256)
+    assert r._fused_hits_fns  # ...and the replay actually fused
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c2f))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v2f))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2f), rtol=1e-6, atol=1e-5)
+
     # the skip-tracer variant must agree too (its own continue-state path);
     # voxels/counts exactly, distances to float-path tolerance (the two
     # formulations advance the impact point through different float chains)
@@ -167,6 +176,42 @@ def test_multihit_compacted_matches_plain():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c3))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v3))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d3), atol=1e-2)
+
+
+def test_grad_on_hits_matches_full_loss():
+    """Hit-compacted backward: identical loss value and gradients to
+    value_and_grad of the full-frame loss — no-hit rays carry zero grad
+    and a params-free constant, both preserved by the compaction."""
+    import jax
+
+    tree = BoxTree(64, 4, auto_simplify=False)
+    rng = np.random.default_rng(5)
+    for _ in range(400):
+        p = tuple(int(v) for v in rng.integers(20, 44, 3))
+        tree.insert(p, RED if rng.random() < 0.5 else GREEN)
+    r = SoftRenderer(tree, max_hits=2)
+    n = 4096  # plenty of sky rays: most directions miss the content blob
+    targets = rng.random((n, 3)) * 64
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (targets - dirs * 150).astype(np.float32)
+    dirs = dirs.astype(np.float32)
+
+    count, voxels, _d = r.trace_hits(origins, dirs, compact=False)
+    assert 0 < int(np.asarray(count > 0).sum()) < n // 4  # sky-dominated
+    params = r.init_params()
+    target = np.asarray(rng.random((n, 3)), dtype=np.float32)
+
+    l_full, g_full = jax.value_and_grad(
+        lambda p: r.loss(p, jax.lax.stop_gradient(voxels), target)
+    )(params)
+    l_c, g_c = r.grad_on_hits(params, count, voxels, target, min_bucket=64)
+    assert int(np.asarray(count > 0).sum()) <= 1024 < n  # bucket < R
+    np.testing.assert_allclose(float(l_c), float(l_full), rtol=1e-5)
+    for k in g_full:
+        np.testing.assert_allclose(
+            np.asarray(g_c[k]), np.asarray(g_full[k]), rtol=1e-4, atol=1e-7
+        )
 
 
 def test_candidate_dilation_grows_missing_voxel():

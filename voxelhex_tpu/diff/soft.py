@@ -100,10 +100,10 @@ class SoftRenderer:
         self._trace = jax.jit(make_multihit_tracer(bg, max_hits=max_hits,
                                                    max_iters=max_iters))
         self._compact_renderer = None
+        self._grad_fns = {}
 
         K = self.max_hits
 
-        @jax.jit
         def _hit_step(voxels, dists, state, orig, cursor, o_full):
             """Record this round's hits at each ray's cursor slot, clear the
             hit voxel's bit in the register words, and reactivate rays that
@@ -148,7 +148,10 @@ class SoftRenderer:
                          active, no_hit) + tuple(state[12:])
             return voxels, dists, new_cursor, state, jnp.sum(active)
 
-        self._hit_step = _hit_step
+        self._hit_step_raw = _hit_step
+        self._hit_step = jax.jit(_hit_step)
+        self._soft_plans = {}
+        self._fused_hits_fns = {}
 
     def init_params(self, init_opacity: float = 0.99):
         """Dense albedo [S^3, 3] + opacity logits [S^3] from the scene."""
@@ -174,7 +177,7 @@ class SoftRenderer:
 
     def trace_hits_compacted(
         self, origins, dirs, round_iters: int = 14, shrink: int = 4,
-        min_bucket: int = 8192,
+        min_bucket: int = 8192, fuse: bool = True,
     ):
         """Multi-hit march with straggler compaction, single pass: each ray
         records hits at its own cursor slot and resumes immediately (the
@@ -202,6 +205,19 @@ class SoftRenderer:
         d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
         R = o.shape[0]
         K = self.max_hits
+
+        # fused replay: once a frame shape has a recorded (iters, bucket)
+        # schedule, the whole multi-hit march — init, rounds, hit
+        # recording, compactions — runs as ONE jitted program with a
+        # single blocking read (the per-round live counts, checked for
+        # plan overflow).  Mirrors BitGridRenderer's fused planned frames.
+        plan = self._soft_plans.get(R) if fuse else None
+        if plan is not None:
+            out = self._run_fused_hits(o, d, R, plan)
+            if out is not None:
+                return out
+            # plan no longer fits: fall through to the adaptive loop
+
         voxels = jnp.full((R, K, 3), -1, dtype=I32)
         dists = jnp.full((R, K), jnp.inf, dtype=F32)
         state = fns["init"](r.tree, o, d, None)
@@ -217,6 +233,7 @@ class SoftRenderer:
         # cap matching the plain tracer: K marches of max_iters each
         total_iters = 0
         budget = self._max_iters * K
+        entries = []
         while True:
             cur = state[0].shape[0]
             iters = round_iters if cur >= R else 4 * round_iters
@@ -228,14 +245,141 @@ class SoftRenderer:
             )
             n_live = int(n_live_dev)
             if n_live == 0 or total_iters >= budget:
+                entries.append((iters, None, n_live))
                 break
             bucket = shrink_to(cur, n_live)
+            entries.append((iters, bucket if bucket < cur else None, n_live))
             if bucket < cur:
                 perm = fns["perm"](state[10], bucket)
                 state, orig = fns["apply_perm"](state, orig, perm)
                 cursor = cursor[perm]
+        if entries[-1][2] == 0:
+            # remember the schedule (with one ladder step of headroom per
+            # bucket if nearly full is unnecessary: overflow just retraces)
+            self._soft_plans[R] = tuple(
+                (it, b) for it, b, _n in entries
+            )
         count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
         return count, voxels, dists
+
+    def _run_fused_hits(self, o, d, R, entries):
+        """Execute a recorded multi-hit schedule as one jitted program.
+        Returns (count, voxels, dists) or None when the plan overflowed
+        (a round's live count exceeded its compaction bucket, or the last
+        round still had live rays)."""
+        key = (R, entries)
+        fn = self._fused_hits_fns.get(key)
+        if fn is None:
+            r = self._compact_renderer
+            trace = r._trace
+            raw = r._raw_fns
+            hit_step = self._hit_step_raw
+            K = self.max_hits
+
+            def build(tree, o, d):
+                voxels = jnp.full((R, K, 3), -1, dtype=I32)
+                dists = jnp.full((R, K), jnp.inf, dtype=F32)
+                state = trace.init(tree, o, d, None)
+                orig = jnp.arange(R, dtype=I32)
+                cursor = jnp.zeros(R, dtype=I32)
+                counts = []
+                for iters, bucket in entries:
+                    state, _n = trace.run(tree, state, iters)
+                    voxels, dists, cursor, state, n_live = hit_step(
+                        voxels, dists, state, orig, cursor, o
+                    )
+                    counts.append(n_live.astype(I32))
+                    cur = state[0].shape[0]
+                    if bucket is not None and bucket < cur:
+                        perm = raw["perm"](state[10], bucket)
+                        state, orig = raw["apply_perm"](state, orig, perm)
+                        cursor = cursor[perm]
+                count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
+                return count, voxels, dists, jnp.stack(counts)
+
+            fn = jax.jit(build)
+            self._fused_hits_fns[key] = fn
+        count, voxels, dists, counts = fn(self._compact_renderer.tree, o, d)
+        counts_h = np.asarray(counts)  # the ONE blocking read
+        cur = R
+        for i, (iters, bucket) in enumerate(entries):
+            n = int(counts_h[i])
+            if bucket is not None and n > bucket:
+                self._soft_plans.pop(R, None)
+                return None  # bucket overflow: hits after it may be lost
+            if bucket is not None:
+                cur = bucket
+        if int(counts_h[-1]) != 0:
+            self._soft_plans.pop(R, None)
+            return None  # live stragglers the plan didn't cover
+        return count, voxels, dists
+
+    def grad_on_hits(self, params, count, voxels, target,
+                     min_bucket: int = 8192, shrink: int = 4):
+        """``value_and_grad`` of :meth:`loss`, computed only on rays that
+        recorded at least one hit.
+
+        A no-hit ray's composite is a params-free constant (every slot's
+        alpha is masked to zero in :meth:`composite`), so its gradient is
+        exactly zero and its squared error a constant — compacting those
+        rays away before the backward pass cuts its cost by the frame's
+        miss fraction (~80% on sky-heavy scenes) while returning the
+        IDENTICAL loss value and gradients: pad rows are masked, the
+        no-hit constant term is added back, and the full-frame mean
+        normalization is kept.  Costs one blocking read (the hit-ray
+        count, to pick the compaction bucket)."""
+        target = jnp.asarray(target, dtype=F32).reshape(-1, 3)
+        voxels = jax.lax.stop_gradient(voxels)
+        R = voxels.shape[0]
+        mask = count > 0
+        n = int(jnp.sum(mask))
+        bucket = R
+        while bucket // shrink >= max(n, min_bucket):
+            bucket //= shrink
+        fn = self._grad_fns.get(bucket)
+        if fn is None:
+            composite = self.composite
+
+            if bucket >= R:
+
+                def f(params, mask, voxels, target):
+                    def loss_fn(p):
+                        rgb = composite(p, voxels)
+                        return jnp.mean((rgb - target) ** 2)
+
+                    return jax.value_and_grad(loss_fn)(params)
+
+            else:
+                b = bucket
+
+                def f(params, mask, voxels, target):
+                    Rf = mask.shape[0]
+                    pos = jnp.cumsum(mask.astype(I32)) - 1
+                    tgt = jnp.where(mask, pos, b)
+                    idx = (
+                        jnp.zeros(b, dtype=I32)
+                        .at[tgt]
+                        .set(jnp.arange(Rf, dtype=I32), mode="drop")
+                    )
+                    vb = voxels[idx]
+                    tb = target[idx]
+                    rowvalid = jnp.arange(b) < jnp.sum(mask)
+                    const = jnp.sum(
+                        jnp.where(mask[:, None], 0.0, target**2)
+                    )
+
+                    def loss_fn(p):
+                        rgb = composite(p, vb)
+                        se = jnp.where(
+                            rowvalid[:, None], (rgb - tb) ** 2, 0.0
+                        )
+                        return (jnp.sum(se) + const) / target.size
+
+                    return jax.value_and_grad(loss_fn)(params)
+
+            fn = jax.jit(f)
+            self._grad_fns[bucket] = fn
+        return fn(params, mask, voxels, target)
 
     def composite(self, params, voxels, bg_color=None):
         """Differentiable transmittance compositing over recorded voxels."""
