@@ -89,6 +89,8 @@ def main():
         ("sync", dict(async_uploads=False, far_field=False)),
         ("async", dict(async_uploads=True, far_field=False)),
         ("async+far", dict(async_uploads=True, far_field=True)),
+        ("async+far+fuse", dict(async_uploads=True, far_field=True,
+                                fuse_plan=True)),
     ]
     # warm every variant (compiles, first-window rebuild)
     for _name, kw in variants:
@@ -109,6 +111,8 @@ def main():
 
     np.testing.assert_array_equal(finals["sync"], finals["async"])
     print("steady-state sync == async: bit-exact OK")
+    np.testing.assert_array_equal(finals["async+far"], finals["async+far+fuse"])
+    print("steady-state far == far+fuse: bit-exact OK")
     for name, vals in sums.items():
         print(f"{name:10s}: avg {np.mean(vals)*1000:.0f} ms/frame")
 

@@ -306,7 +306,8 @@ class FarField:
             )
             if self.renderer is None:
                 self.renderer = BitGridRenderer(
-                    bg, tracer=self.view.tracer_kind
+                    bg, tracer=self.view.tracer_kind,
+                    fuse_plan=self.view.fuse_plan,
                 )
             else:
                 from voxelhex_tpu.render.bitgrid import device_bitgrid
@@ -363,10 +364,15 @@ class StreamingView:
         occlusion_prune: bool = True,
         far_field: bool = True,
         tracer: str = "stack",
+        fuse_plan: bool = False,
     ):
         assert view_size % REGION == 0
         self.tree = tree
         self.tracer_kind = tracer
+        # fuse_plan: window/far frames replay their recorded compaction
+        # schedules as ONE jitted dispatch each (BitGridRenderer fused
+        # planned frames); overflowed plans retrace adaptively, bit-exact
+        self.fuse_plan = bool(fuse_plan)
         # far-field LOD: content beyond the window renders at coarse MIP
         # colors out to the world edge (reference: the whole scene stays
         # renderable, upload_queue.rs:150-207 + probe_MIP).  Only active
@@ -1008,7 +1014,8 @@ class StreamingView:
             palette=palette,
         )
         if self.renderer is None:
-            self.renderer = BitGridRenderer(bg, tracer=self.tracer_kind)
+            self.renderer = BitGridRenderer(bg, tracer=self.tracer_kind,
+                                            fuse_plan=self.fuse_plan)
         else:
             # the tracer's structure (levels/bases/dims) only depends on the
             # view size, so re-upload arrays instead of re-jitting
