@@ -299,6 +299,42 @@ def test_delta_upload_u16_fallback_large_palette():
     np.testing.assert_allclose(img_delta, img_full, atol=1e-6)
 
 
+def test_streaming_fuse_plan_bit_exact():
+    """StreamingView(fuse_plan=True): frames (window + far field) stay
+    bit-identical to the adaptive view across repeats and edits — the
+    second frame replays the recorded schedule as one fused dispatch."""
+    from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+    from voxelhex_tpu.render.camera import Camera
+
+    def make():
+        t = BoxTree(256, 4, auto_simplify=True)
+        t.insert_at_lod((16, 16, 16), 8, Albedo(200, 40, 40, 255))
+        t.insert_at_lod((224, 16, 224), 16, Albedo(40, 200, 40, 255))
+        return t
+
+    cam = Camera(
+        origin=np.array([28.0, 30.0, 28.0], dtype=np.float32),
+        target=np.array([34.0, 26.0, 34.0], dtype=np.float32),
+        up=np.array([0.0, 1.0, 0.0], dtype=np.float32),
+        fov_y_deg=50.0,
+        resolution=(64, 48),
+    )
+    v1 = StreamingView(make(), view_size=64, regions_per_update=4096)
+    v2 = StreamingView(make(), view_size=64, regions_per_update=4096,
+                       fuse_plan=True)
+    for _ in range(3):  # frame 2+ replay fused schedules
+        np.testing.assert_array_equal(
+            np.asarray(v1.render(cam, out_u8=True)),
+            np.asarray(v2.render(cam, out_u8=True)),
+        )
+    for v in (v1, v2):
+        v.tree.insert_at_lod((40, 24, 40), 8, Albedo(250, 250, 30, 255))
+    np.testing.assert_array_equal(
+        np.asarray(v1.render(cam, out_u8=True)),
+        np.asarray(v2.render(cam, out_u8=True)),
+    )
+
+
 def test_streaming_skip_tracer_bit_exact():
     """StreamingView(tracer='skip') frames are bit-identical to the stack
     tracer, including after edits (the delta path refreshes skip_rows on
