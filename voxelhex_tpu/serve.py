@@ -45,7 +45,8 @@ import numpy as np
 class RenderService:
     """Device-owning render/edit core shared by the HTTP layer and tests."""
 
-    def __init__(self, tree, view_size: int | None = None):
+    def __init__(self, tree, view_size: int | None = None,
+                 fuse_plan: bool = False):
         from voxelhex_tpu.render.bitgrid import BitGridRenderer
         from voxelhex_tpu.render.streaming import StreamingView
         from voxelhex_tpu.tree.flat import flatten
@@ -53,12 +54,18 @@ class RenderService:
         self.tree = tree
         self._lock = threading.Lock()
         self.frames_served = 0
+        # fuse_plan: repeat frames replay their compaction schedule as one
+        # fused dispatch (local-TPU serving; through the slow-compile
+        # tunnel a NEW plan signature stalls minutes, so off by default)
+        self.fuse_plan = bool(fuse_plan)
         if view_size is not None and view_size < tree.size:
-            self.view = StreamingView(tree, view_size=view_size)
+            self.view = StreamingView(tree, view_size=view_size,
+                                      fuse_plan=self.fuse_plan)
             self.renderer = None
         else:
             self.view = None
-            self.renderer = BitGridRenderer(flatten(tree))
+            self.renderer = BitGridRenderer(flatten(tree),
+                                            fuse_plan=self.fuse_plan)
 
     def render(self, origin, target, resolution, fov_y_deg=50.0, bg=(0, 0, 0)):
         from voxelhex_tpu.render.camera import Camera
@@ -111,7 +118,8 @@ class RenderService:
                 from voxelhex_tpu.render.bitgrid import BitGridRenderer
                 from voxelhex_tpu.tree.flat import flatten
 
-                self.renderer = BitGridRenderer(flatten(self.tree))
+                self.renderer = BitGridRenderer(flatten(self.tree),
+                                                fuse_plan=self.fuse_plan)
         return n
 
     def load_scene(self, tree, view_size: int | None = None) -> None:
@@ -123,11 +131,13 @@ class RenderService:
         with self._lock:
             self.tree = tree
             if view_size is not None and view_size < tree.size:
-                self.view = StreamingView(tree, view_size=view_size)
+                self.view = StreamingView(tree, view_size=view_size,
+                                          fuse_plan=self.fuse_plan)
                 self.renderer = None
             else:
                 self.view = None
-                self.renderer = BitGridRenderer(flatten(tree))
+                self.renderer = BitGridRenderer(flatten(tree),
+                                                fuse_plan=self.fuse_plan)
 
     def load_vox_bytes(self, data: bytes, name: str = "model.vox",
                        brick_dim: int = 4, cache_dir=None) -> None:
@@ -265,6 +275,10 @@ def main():
                     help="streaming view window size (out-of-core scenes)")
     ap.add_argument("--brick", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fuse-plan", action="store_true",
+                    help="replay frame schedules as one fused dispatch "
+                         "(best on local TPU; new shapes compile slowly "
+                         "through a remote tunnel)")
     args = ap.parse_args()
 
     import jax
@@ -290,7 +304,8 @@ def main():
             p = tuple(int(v) for v in rng.integers(0, 64, 3))
             tree.insert(p, Albedo(*(int(v) for v in rng.integers(64, 255, 3)), 255))
 
-    service = RenderService(tree, view_size=args.view)
+    service = RenderService(tree, view_size=args.view,
+                            fuse_plan=args.fuse_plan)
     srv = make_server(service, args.host, args.port)
     print(f"serving {tree.size}^3 scene on http://{args.host}:{args.port} "
           f"(streaming={service.view is not None})")
