@@ -41,12 +41,13 @@ def flight_cam(i, frames, res):
     return Camera(origin=eye, target=tgt, resolution=res, fov_y_deg=55.0)
 
 
-def fly(tree, res, frames, *, async_uploads, far_field):
+def fly(tree, res, frames, *, async_uploads, far_field, fuse_plan=False):
     from voxelhex_tpu.render.streaming import StreamingView
 
     view = StreamingView(
         tree, view_size=VIEW, regions_per_update=8192,
         async_uploads=async_uploads, far_field=far_field,
+        fuse_plan=fuse_plan,
     )
     times = []
     for i in range(frames):
