@@ -49,7 +49,7 @@ def main():
     tree = build_quarter_filled(512, brick_dim=8)
     flat = flatten(tree)
     print(f"built 512^3 quarter-filled in {time.time()-t0:.1f}s", flush=True)
-    r = BitGridRenderer(flat)
+    r = BitGridRenderer(flat, fuse_plan=True)
     cam = orbit_camera(512.0, resolution=RES)
     np.asarray(r.render(cam, out_u8=True))  # warm
     best = float("inf")
@@ -76,7 +76,8 @@ def main():
         tall = pts[pts[:, 1] > (lo[1] + hi[1]) / 4] if hi[1] - lo[1] > 8 else pts
         center = np.median(tall if len(tall) else pts, axis=0)
         extent = float(min((hi - lo).max(), 256))
-        view = StreamingView(gtree, view_size=256, regions_per_update=100000)
+        view = StreamingView(gtree, view_size=256, regions_per_update=100000,
+                             fuse_plan=True)
         cam2 = orbit_camera(extent, resolution=RES)
         shift = (center - extent / 2.0).astype(np.float32)
         cam2 = replace(cam2, origin=cam2.origin + shift, target=cam2.target + shift)
