@@ -168,9 +168,9 @@ def main():
     d_d = d_d.reshape(-1, 3)
     params = soft.init_params()
 
-    def fwdbwd_step():
+    def fwdbwd_step(kw):
         t0 = time.time()
-        c, voxels, _t = soft.trace_hits(o_d, d_d, compact=True)
+        c, voxels, _t = soft.trace_hits(o_d, d_d, compact=True, **kw)
         # hit-compacted backward: no-hit (sky) rays carry exactly zero
         # gradient, so the backward pass runs on the hit rays only —
         # identical loss/grads (soft.grad_on_hits, parity-tested)
@@ -184,7 +184,25 @@ def main():
     target = jax.lax.stop_gradient(soft.composite(params, voxels_w))
     _l, _g = soft.grad_on_hits(params, c_w, voxels_w, target)
     jax.block_until_ready(_g["logits"])
-    best_bwd = min(fwdbwd_step() for _ in range(3))
+
+    # beam prepass + round-0 compaction on the multi-hit march (same
+    # hit-mask-exact lever as the forward path, beam traced into the
+    # fused replay program): auto-select per session like the forward mode
+    bwd_kw = {}
+    spec = soft.beam_spec(cam)
+    if spec is not None:
+        soft.trace_hits(o_d, d_d, compact=True, beam=spec)  # warm + plan
+        soft.trace_hits(o_d, d_d, compact=True, beam=spec)  # fused warm
+        t_plain = min(fwdbwd_step({}) for _ in range(2))
+        t_beam = min(fwdbwd_step({"beam": spec}) for _ in range(2))
+        if t_beam < t_plain:
+            bwd_kw = {"beam": spec}
+        print(
+            f"fwdbwd mode select: plain {t_plain*1e3:.0f} ms, beam "
+            f"{t_beam*1e3:.0f} ms -> {'beam' if bwd_kw else 'plain'}",
+            file=sys.stderr,
+        )
+    best_bwd = min(fwdbwd_step(bwd_kw) for _ in range(3))
     rays_per_sec_bwd = rays / best_bwd
 
     # ---- record/compare against the repo's own first recorded numbers ----

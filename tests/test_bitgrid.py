@@ -319,6 +319,46 @@ def test_plan_from_rounds_shapes():
     assert plan2 == [(14, 256), (56, None)]
 
 
+def test_plan_from_rounds_incomplete_marked():
+    """A recorded frame that ended at max_iters with live actives yields an
+    INCOMPLETE plan (dict, complete=False): the fused path cannot extend a
+    schedule, so replaying such a plan fused would pay a full fused trace
+    plus a full adaptive retrace every frame."""
+    from voxelhex_tpu.render.bitgrid import plan_from_rounds
+
+    rounds = [
+        {"bucket": 4096, "iters": 14, "n_active": 900},
+        {"bucket": 1024, "iters": 56, "n_active": 37},  # still live at end
+    ]
+    plan = plan_from_rounds(rounds, shrink=4, min_bucket=256)
+    assert isinstance(plan, dict) and plan["complete"] is False
+    # the trailing bucket is the compaction the adaptive continuation
+    # starts from — kept so the replay-then-adapt path shrinks stragglers
+    assert plan["rounds"] == [(14, 1024), (56, 256)]
+
+
+def test_incomplete_plan_routes_nonfused():
+    """An incomplete plan on a fuse_plan renderer must take the NON-fused
+    replay+adapt path (which can extend the schedule), not the fused
+    program, and still match the plain render exactly."""
+    tree = make_scene(64, 4, seed=3)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    from voxelhex_tpu.render.camera import device_rays
+
+    o, d = device_rays(cam)
+    import jax.numpy as jnp
+
+    bgc = jnp.zeros(3, dtype=jnp.float32)
+    ref = r.trace_compacted(o, d, shade_bg=bgc)
+    incomplete = {"pre": None, "rounds": [(14, None)], "complete": False}
+    out = rf.trace_compacted(o, d, shade_bg=bgc, plan=incomplete)
+    assert rf.last_stats["planned"] and not rf.last_stats.get("fused")
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_color_u8_grid_bit_exact():
     """The u8 device color grid (palette <= 254: halved color HBM) renders
     bit-for-bit like the u16 grid; oversized palettes silently keep u16."""
@@ -439,6 +479,9 @@ def test_fused_plan_single_dispatch_frames():
     b1 = rf.render(cam, beam_prepass=True, out_u8=True)  # records beam plan
     b2 = rf.render(cam, beam_prepass=True, out_u8=True)  # fused, with pre
     assert rf.last_stats.get("fused")
+    # the beam prepass was traced INTO the one-dispatch frame program —
+    # not run as a separate beam_start dispatch (VERDICT r2 next #1)
+    assert rf.last_stats.get("beam_fused")
     assert rf.last_stats["pre"] is not None
     np.testing.assert_array_equal(b1, plain)
     np.testing.assert_array_equal(b2, plain)

@@ -180,6 +180,75 @@ def test_albedo_gradient_matches_finite_differences(small_scene, rays):
         )
 
 
+def test_sharded_soft_train_step_matches_fit_soft(small_scene, rays):
+    """BASELINE config 5 on a mesh: the sharded soft-occupancy step
+    (albedo + opacity grads pmean'd across 8 devices) must equal the
+    single-device fit_soft step exactly — and the pipelined-psum variant
+    must match the plain sharded step."""
+    from voxelhex_tpu.diff.soft import SoftRenderer, fit_soft
+    from voxelhex_tpu.parallel.soft import (
+        fit_soft_sharded,
+        sharded_soft_train_step,
+        sharded_soft_train_step_pipelined,
+    )
+    from voxelhex_tpu.parallel.render import shard_rays
+
+    origins, dirs = rays
+    n_keep = (origins.shape[0] // 16) * 16  # divides devices*microbatches
+    o, d = origins[:n_keep], dirs[:n_keep]
+    soft = SoftRenderer(small_scene, max_hits=2, max_iters=256)
+    params0 = soft.init_params()
+    _c, voxels, _t = soft.trace_hits(o, d)
+    voxels = jax.lax.stop_gradient(voxels)
+    target = np.asarray(soft.composite(params0, voxels))
+    # fit from a perturbed start so gradients are non-trivial
+    init = {
+        "albedo": jnp.clip(params0["albedo"] + 0.25, 0.0, 1.0),
+        "logits": params0["logits"] * 0.5,
+    }
+
+    # single-device reference: 3 fit_soft steps (adam, l1, clip — the
+    # exact step the sharded path must reproduce)
+    ref_params, ref_losses = fit_soft(
+        soft, o, d, target, steps=3, lr=0.05,
+        params0=jax.tree.map(jnp.array, init), opacity_l1=0.01,
+    )
+
+    mesh = make_ray_mesh()
+    import optax
+
+    opt = optax.adam(0.05)
+    step = sharded_soft_train_step(soft, mesh, opt, opacity_l1=0.01)
+    (v_sh, t_sh), _ = shard_rays(mesh, np.asarray(voxels), target)
+    p = jax.tree.map(jnp.array, init)
+    s = opt.init(p)
+    losses = []
+    for _ in range(3):
+        p, s, loss = step(p, s, v_sh, t_sh)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5)
+    for k in ref_params:
+        np.testing.assert_allclose(
+            np.asarray(p[k]), np.asarray(ref_params[k]), atol=1e-5
+        )
+
+    # pipelined psum variant: numerically identical to the plain step
+    piped = sharded_soft_train_step_pipelined(
+        soft, mesh, opt, microbatches=2, opacity_l1=0.01
+    )
+    p2 = jax.tree.map(jnp.array, init)
+    s2 = opt.init(p2)
+    p2, s2, l2 = piped(p2, s2, v_sh, t_sh)
+    assert float(l2) == pytest.approx(losses[0], rel=1e-5)
+
+    # the one-call wrapper drives the same machinery
+    pw, lw = fit_soft_sharded(
+        soft, mesh, o, d, target, steps=2, lr=0.05,
+        params0=jax.tree.map(jnp.array, init), opacity_l1=0.01,
+    )
+    np.testing.assert_allclose(lw, ref_losses[:2], rtol=1e-5)
+
+
 def test_pipelined_train_step_matches_plain(small_scene, rays):
     """Per-microbatch psum (collective/compute overlap) must be numerically
     equivalent to the single-all-reduce step (psum is linear)."""

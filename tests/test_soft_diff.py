@@ -178,6 +178,70 @@ def test_multihit_compacted_matches_plain():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d3), atol=1e-2)
 
 
+def test_multihit_beam_start_matches_plain():
+    """Beam prepass + round-0 compaction preserve the multi-hit record
+    exactly (the beam proves no occupied voxel before each tile's start,
+    so the first K hits are unchanged), including on the fused replay
+    where the beam is traced into the one-dispatch program."""
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = BoxTree(64, 4, auto_simplify=False)
+    for x in range(28, 36):
+        for y in range(28, 36):
+            for z in range(28, 36):
+                tree.insert((x, y, z), RED)
+    r = SoftRenderer(tree, max_hits=2)
+    cam = orbit_camera(64.0, distance_factor=3.0, resolution=(160, 120))
+    o, d = device_rays(cam)
+    o = jnp.reshape(o, (-1, 3))
+    d = jnp.reshape(d, (-1, 3))
+    c0, v0, d0 = r.trace_hits_compacted(o, d, min_bucket=256)
+    spec = r.beam_spec(cam)
+    assert spec is not None
+    cb, vb, db = r.trace_hits_compacted(o, d, min_bucket=256, beam=spec)
+    # the round-0 compaction actually fired on this sky-dominated camera
+    plan = r._soft_plans.get((o.shape[0], True))
+    assert plan and plan["pre"] is not None and plan["pre"] < o.shape[0]
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(vb))
+    np.testing.assert_allclose(
+        np.asarray(d0), np.asarray(db), rtol=1e-6, atol=1e-5
+    )
+    # fused replay (beam traced in) — identical again
+    cf, vf, df = r.trace_hits_compacted(o, d, min_bucket=256, beam=spec)
+    assert any(k[4] is not None for k in r._fused_hits_fns)  # beam fused
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cf))
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(vf))
+    np.testing.assert_allclose(
+        np.asarray(db), np.asarray(df), rtol=1e-6, atol=1e-5
+    )
+
+
+def test_multihit_beam_respects_dilated_candidates():
+    """The beam derives occupancy from the traversal PYRAMID, not colors:
+    a with_candidates renderer occupies colorless dilated voxels, and the
+    beam must not prove tiles dead that contain only candidates."""
+    from voxelhex_tpu.diff.soft import with_candidates
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = BoxTree(64, 4, auto_simplify=False)
+    for x in range(28, 36):
+        for y in range(28, 36):
+            for z in range(28, 36):
+                tree.insert((x, y, z), RED)
+    r, params, cand = with_candidates(tree, radius=1, max_hits=3)
+    cam = orbit_camera(64.0, distance_factor=3.0, resolution=(160, 120))
+    o, d = device_rays(cam)
+    o = jnp.reshape(o, (-1, 3))
+    d = jnp.reshape(d, (-1, 3))
+    c0, v0, _ = r.trace_hits_compacted(o, d, min_bucket=256)
+    spec = r.beam_spec(cam)
+    assert spec is not None
+    cb, vb, _ = r.trace_hits_compacted(o, d, min_bucket=256, beam=spec)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(vb))
+
+
 def test_grad_on_hits_matches_full_loss():
     """Hit-compacted backward: identical loss value and gradients to
     value_and_grad of the full-frame loss — no-hit rays carry zero grad

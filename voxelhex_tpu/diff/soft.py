@@ -166,18 +166,39 @@ class SoftRenderer:
         logits = np.where(occupied, logit, -10.0).astype(np.float32)
         return {"albedo": jnp.asarray(albedo), "logits": jnp.asarray(logits)}
 
-    def trace_hits(self, origins, dirs, compact: bool | None = None):
+    def _ensure_compact_renderer(self):
+        if self._compact_renderer is None:
+            from voxelhex_tpu.render.bitgrid import BitGridRenderer
+
+            self._compact_renderer = BitGridRenderer(
+                self.bitgrid, max_iters=self._max_iters, prepass=False,
+                tracer=self.tracer_kind,
+            )
+        return self._compact_renderer
+
+    def beam_spec(self, camera):
+        """Beam-prepass spec for :meth:`trace_hits` (None if unsupported).
+
+        Valid for the multi-hit march: the beam proves no OCCUPIED voxel
+        lies before each tile's conservative start (occupancy read from the
+        traversal pyramid, so dilated candidate grids are honored), hence
+        the first K hits — and therefore all gradients — are unchanged.
+        Dead tiles record zero hits, exactly like marching them would."""
+        return self._ensure_compact_renderer()._beam_spec(camera)
+
+    def trace_hits(self, origins, dirs, compact: bool | None = None,
+                   beam=None):
         o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
         d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
         if compact is None:
             compact = o.shape[0] >= 262144  # frame-scale ray counts
         if compact:
-            return self.trace_hits_compacted(o, d)
+            return self.trace_hits_compacted(o, d, beam=beam)
         return self._trace(self.tree, o, d)
 
     def trace_hits_compacted(
         self, origins, dirs, round_iters: int = 14, shrink: int = 4,
-        min_bucket: int = 8192, fuse: bool = True,
+        min_bucket: int = 8192, fuse: bool = True, start_t=None, beam=None,
     ):
         """Multi-hit march with straggler compaction, single pass: each ray
         records hits at its own cursor slot and resumes immediately (the
@@ -191,36 +212,47 @@ class SoftRenderer:
         segment rounds, silently dropping rays that had already hit — their
         segment hit and all later hits were lost whenever a compaction fired
         mid-segment.  The per-ray-cursor design removes the segment barrier
-        entirely.)"""
-        if self._compact_renderer is None:
-            from voxelhex_tpu.render.bitgrid import BitGridRenderer
+        entirely.)
 
-            self._compact_renderer = BitGridRenderer(
-                self.bitgrid, max_iters=self._max_iters, prepass=False,
-                tracer=self.tracer_kind,
-            )
-        r = self._compact_renderer
+        ``start_t`` / ``beam``: a conservative per-ray start distance (or a
+        beam-prepass spec from :meth:`beam_spec` that computes one) enables
+        ROUND-0 COMPACTION — beam-proved-dead rays (start >= box exit,
+        deactivated at init) are packed away before the expensive
+        full-width first round, the same lever that cut the forward path's
+        round-1 ray-iters 4x on the 80%-sky bench scene (PERF.md "Beam
+        prepass"); on fused replays the beam traces into the ONE program."""
+        r = self._ensure_compact_renderer()
         fns = r._compact_fns
         o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
         d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
         R = o.shape[0]
         K = self.max_hits
+        has_start = (start_t is not None) or (beam is not None)
+        plan_key = (R, has_start)
 
         # fused replay: once a frame shape has a recorded (iters, bucket)
-        # schedule, the whole multi-hit march — init, rounds, hit
-        # recording, compactions — runs as ONE jitted program with a
-        # single blocking read (the per-round live counts, checked for
-        # plan overflow).  Mirrors BitGridRenderer's fused planned frames.
-        plan = self._soft_plans.get(R) if fuse else None
+        # schedule, the whole multi-hit march — beam prepass (if any),
+        # init, round-0 compaction, rounds, hit recording, compactions —
+        # runs as ONE jitted program with a single blocking read (the
+        # per-round live counts, checked for plan overflow).  Mirrors
+        # BitGridRenderer's fused planned frames.
+        plan = self._soft_plans.get(plan_key) if fuse else None
         if plan is not None:
-            out = self._run_fused_hits(o, d, R, plan)
+            out = self._run_fused_hits(o, d, R, plan, start_t=start_t,
+                                       beam=beam)
             if out is not None:
                 return out
             # plan no longer fits: fall through to the adaptive loop
 
+        st = None if start_t is None else jnp.asarray(start_t).reshape(-1)
+        if st is None and beam is not None:
+            st = r._beam_fn(*beam["key"])(
+                beam["tree_b"], beam["o_b"], beam["d_b"]
+            )
+
         voxels = jnp.full((R, K, 3), -1, dtype=I32)
         dists = jnp.full((R, K), jnp.inf, dtype=F32)
-        state = fns["init"](r.tree, o, d, None)
+        state = fns["init"](r.tree, o, d, st)
         orig = jnp.arange(R, dtype=I32)
         cursor = jnp.zeros(R, dtype=I32)
 
@@ -230,13 +262,29 @@ class SoftRenderer:
                 bucket //= shrink
             return bucket
 
+        pre = None
+        if st is not None:
+            # round-0 compaction: one blocking count read (adaptive frames
+            # only — fused replays fold it into the batched fetch)
+            n0 = int(fns["count"](state))
+            bucket0 = shrink_to(R, n0)
+            if bucket0 < R:
+                perm = fns["perm"](state[10], bucket0)
+                state, orig = fns["apply_perm"](state, orig, perm)
+                cursor = cursor[perm]
+                pre = bucket0
+
         # cap matching the plain tracer: K marches of max_iters each
         total_iters = 0
         budget = self._max_iters * K
         entries = []
         while True:
             cur = state[0].shape[0]
-            iters = round_iters if cur >= R else 4 * round_iters
+            # the first round is the whole frame's march even when a
+            # round-0 compaction already shrank the buffer: keep the short
+            # round/compact cadence there (same rule as trace_compacted)
+            iters = (round_iters if (cur >= R or total_iters == 0)
+                     else 4 * round_iters)
             iters = min(iters, budget - total_iters)
             state, _n = fns["run"](r.tree, state, iters)
             total_iters += iters
@@ -256,18 +304,27 @@ class SoftRenderer:
         if entries[-1][2] == 0:
             # remember the schedule (with one ladder step of headroom per
             # bucket if nearly full is unnecessary: overflow just retraces)
-            self._soft_plans[R] = tuple(
-                (it, b) for it, b, _n in entries
-            )
+            self._soft_plans[plan_key] = {
+                "pre": pre,
+                "rounds": tuple((it, b) for it, b, _n in entries),
+            }
         count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
         return count, voxels, dists
 
-    def _run_fused_hits(self, o, d, R, entries):
-        """Execute a recorded multi-hit schedule as one jitted program.
-        Returns (count, voxels, dists) or None when the plan overflowed
-        (a round's live count exceeded its compaction bucket, or the last
-        round still had live rays)."""
-        key = (R, entries)
+    def _run_fused_hits(self, o, d, R, plan, start_t=None, beam=None):
+        """Execute a recorded multi-hit schedule as one jitted program —
+        including the beam prepass and round-0 compaction when the plan
+        carries them.  Returns (count, voxels, dists) or None when the plan
+        overflowed (the pre bucket or a round's live count exceeded its
+        compaction bucket, or the last round still had live rays)."""
+        entries = plan["rounds"] if isinstance(plan, dict) else plan
+        pre = plan.get("pre") if isinstance(plan, dict) else None
+        has_start = (start_t is not None) or (beam is not None)
+        if pre is not None and not has_start:
+            pre = None  # a pre bucket is only meaningful with a start
+        beam_key = beam["key"] if beam is not None else None
+        plan_key = (R, has_start)
+        key = (R, entries, pre, has_start, beam_key)
         fn = self._fused_hits_fns.get(key)
         if fn is None:
             r = self._compact_renderer
@@ -275,14 +332,22 @@ class SoftRenderer:
             raw = r._raw_fns
             hit_step = self._hit_step_raw
             K = self.max_hits
+            beam_body = r._beam_body(*beam_key) if beam_key else None
 
-            def build(tree, o, d):
+            def build(tree, o, d, st):
                 voxels = jnp.full((R, K, 3), -1, dtype=I32)
                 dists = jnp.full((R, K), jnp.inf, dtype=F32)
-                state = trace.init(tree, o, d, None)
+                state = trace.init(tree, o, d, st)
                 orig = jnp.arange(R, dtype=I32)
                 cursor = jnp.zeros(R, dtype=I32)
                 counts = []
+                if pre is not None:
+                    # planned round-0 compaction: alive count joins the
+                    # batched fetch, no separate blocking read
+                    counts.append(jnp.sum(state[10].astype(I32)))
+                    p = raw["perm"](state[10], pre)
+                    state, orig = raw["apply_perm"](state, orig, p)
+                    cursor = cursor[p]
                 for iters, bucket in entries:
                     state, _n = trace.run(tree, state, iters)
                     voxels, dists, cursor, state, n_live = hit_step(
@@ -297,20 +362,42 @@ class SoftRenderer:
                 count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
                 return count, voxels, dists, jnp.stack(counts)
 
-            fn = jax.jit(build)
+            if beam_key is not None:
+                fn = jax.jit(
+                    lambda tree, tree_b, o, d, o_b, d_b: build(
+                        tree, o, d, beam_body(tree_b, o_b, d_b)
+                    )
+                )
+            elif has_start:
+                fn = jax.jit(build)
+            else:
+                fn = jax.jit(lambda tree, o, d: build(tree, o, d, None))
             self._fused_hits_fns[key] = fn
-        count, voxels, dists, counts = fn(self._compact_renderer.tree, o, d)
+        tree = self._compact_renderer.tree
+        if beam is not None:
+            count, voxels, dists, counts = fn(
+                tree, beam["tree_b"], o, d, beam["o_b"], beam["d_b"]
+            )
+        elif start_t is not None:
+            count, voxels, dists, counts = fn(
+                tree, o, d, jnp.asarray(start_t).reshape(-1)
+            )
+        else:
+            count, voxels, dists, counts = fn(tree, o, d)
         counts_h = np.asarray(counts)  # the ONE blocking read
-        cur = R
+        k = 0
+        if pre is not None:
+            k = 1
+            if int(counts_h[0]) > pre:
+                self._soft_plans.pop(plan_key, None)
+                return None  # pre bucket overflow: live rays were dropped
         for i, (iters, bucket) in enumerate(entries):
-            n = int(counts_h[i])
+            n = int(counts_h[k + i])
             if bucket is not None and n > bucket:
-                self._soft_plans.pop(R, None)
+                self._soft_plans.pop(plan_key, None)
                 return None  # bucket overflow: hits after it may be lost
-            if bucket is not None:
-                cur = bucket
         if int(counts_h[-1]) != 0:
-            self._soft_plans.pop(R, None)
+            self._soft_plans.pop(plan_key, None)
             return None  # live stragglers the plan didn't cover
         return count, voxels, dists
 
@@ -336,7 +423,10 @@ class SoftRenderer:
         bucket = R
         while bucket // shrink >= max(n, min_bucket):
             bucket //= shrink
-        fn = self._grad_fns.get(bucket)
+        # keyed on (R, bucket): two ray counts can ladder to the same bucket
+        # (or a bucket can equal a smaller call's R), and the plain-vs-
+        # compacted branch below depends on BOTH
+        fn = self._grad_fns.get((R, bucket))
         if fn is None:
             composite = self.composite
 
@@ -378,7 +468,7 @@ class SoftRenderer:
                     return jax.value_and_grad(loss_fn)(params)
 
             fn = jax.jit(f)
-            self._grad_fns[bucket] = fn
+            self._grad_fns[(R, bucket)] = fn
         return fn(params, mask, voxels, target)
 
     def composite(self, params, voxels, bg_color=None):

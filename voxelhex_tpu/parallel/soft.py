@@ -1,0 +1,205 @@
+"""Sharded training of the soft-occupancy (albedo + opacity) path.
+
+The BASELINE "optimize brick albedo/occupancy" config (config 5) over a
+device mesh: the multi-hit trace is geometry-only and runs once per view
+set (host-driven, non-differentiable — ``SoftRenderer.trace_hits``); the
+TRAINING STEP then shards the per-ray hit records and targets over the
+``rays`` mesh axis, keeps params (dense albedo [S^3,3] + opacity logits
+[S^3]) replicated, and ``pmean``-reduces their gradients across the mesh —
+the north star's gradient all-reduce, riding ICI on real chips.
+
+Numerically exact vs the single-device :func:`voxelhex_tpu.diff.soft
+.fit_soft` step when the ray count divides the mesh (per-shard mean +
+pmean == global mean; the opacity-L1 term is shard-invariant because
+params are replicated).
+
+Reference scope: the reference has no distributed anything (SURVEY §2.4);
+this is the new-requirement path (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from voxelhex_tpu.diff.soft import SoftRenderer
+
+
+def _clip_params(params):
+    # mirror fit_soft's post-update clamps exactly
+    return {
+        "albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+        "logits": jnp.clip(params["logits"], -12.0, 12.0),
+    }
+
+
+def _local_loss_fn(soft: SoftRenderer, opacity_l1: float, fit_albedo: bool):
+    def local_loss(params, voxels, targets):
+        p = params
+        if not fit_albedo:
+            p = {
+                "albedo": jax.lax.stop_gradient(params["albedo"]),
+                "logits": params["logits"],
+            }
+        rgb = soft.composite(p, voxels)
+        loss = jnp.mean((rgb - targets) ** 2)
+        if opacity_l1:
+            loss = loss + opacity_l1 * jnp.mean(jax.nn.sigmoid(p["logits"]))
+        return loss
+
+    return local_loss
+
+
+def sharded_soft_train_step(
+    soft: SoftRenderer,
+    mesh: Mesh,
+    optimizer,
+    axis_name: str = "rays",
+    opacity_l1: float = 0.0,
+    fit_albedo: bool = True,
+):
+    """One optimizer step of the soft-occupancy loss, rays DP over ``mesh``.
+
+    Returns ``step(params, opt_state, voxels, targets) -> (params,
+    opt_state, loss)`` jitted over the mesh; ``voxels`` is the [R, K, 3]
+    multi-hit record from ``SoftRenderer.trace_hits`` and ``targets`` the
+    [R, 3] target pixels, both sharded on axis 0 (R must divide the mesh —
+    zero-padding voxel rows would alias voxel (0,0,0) and skew the mean).
+    Gradients flow into BOTH albedo and opacity logits and are pmean'd
+    across shards, so the update equals the single-device full-batch
+    ``fit_soft`` step."""
+    import optax
+
+    local_loss = _local_loss_fn(soft, opacity_l1, fit_albedo)
+
+    def shard_step(params, opt_state, voxels, targets):
+        loss, grads = jax.value_and_grad(local_loss)(params, voxels, targets)
+        grads = jax.lax.pmean(grads, axis_name)  # all-reduce over ICI
+        loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return _clip_params(params), opt_state, loss
+
+    sharded = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_soft_train_step_pipelined(
+    soft: SoftRenderer,
+    mesh: Mesh,
+    optimizer,
+    axis_name: str = "rays",
+    microbatches: int = 4,
+    opacity_l1: float = 0.0,
+    fit_albedo: bool = True,
+):
+    """Soft train step with the gradient all-reduce PIPELINED against the
+    backward pass: rays split into ``microbatches``, each microbatch's
+    grads psum'd immediately so XLA's latency-hiding scheduler overlaps the
+    collective with the next microbatch's backward compute.  Numerically
+    identical to :func:`sharded_soft_train_step` (psum is linear); the
+    shard-invariant opacity-L1 term is added once after the scan."""
+    import optax
+
+    n_dev = mesh.devices.size
+    local_mse = _local_loss_fn(soft, 0.0, fit_albedo)
+
+    def shard_step(params, opt_state, voxels, targets):
+        K = microbatches
+        v = voxels.reshape(K, -1, *voxels.shape[1:])
+        t = targets.reshape(K, -1, targets.shape[-1])
+
+        def mb(gsum, xs):
+            vk, tk = xs
+            loss_k, g = jax.value_and_grad(local_mse)(params, vk, tk)
+            g = jax.lax.psum(g, axis_name)
+            loss_k = jax.lax.psum(loss_k, axis_name)
+            return jax.tree.map(jnp.add, gsum, g), loss_k
+
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        gsum, losses = jax.lax.scan(mb, g0, (v, t))
+        grads = jax.tree.map(lambda g: g / (K * n_dev), gsum)
+        loss = jnp.mean(losses) / n_dev
+        if opacity_l1:
+            l1_loss, l1_grads = jax.value_and_grad(
+                lambda p: opacity_l1 * jnp.mean(jax.nn.sigmoid(p["logits"]))
+            )(params)
+            grads = jax.tree.map(jnp.add, grads, l1_grads)
+            loss = loss + l1_loss
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return _clip_params(params), opt_state, loss
+
+    sharded = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def fit_soft_sharded(
+    soft: SoftRenderer,
+    mesh: Mesh,
+    origins,
+    dirs,
+    targets,
+    steps: int = 300,
+    lr: float = 0.05,
+    params0=None,
+    opacity_l1: float = 0.0,
+    fit_albedo: bool = True,
+    axis_name: str = "rays",
+    pipelined_microbatches: int = 0,
+):
+    """Multi-device ``fit_soft``: trace once, then run sharded train steps.
+
+    The ray count must divide the mesh (frame resolutions do: 1080p/8
+    chips = 259200 rays per shard).  Returns (params, losses)."""
+    import optax
+
+    from voxelhex_tpu.parallel.render import shard_rays
+
+    targets = np.asarray(targets).reshape(-1, 3)
+    R = targets.shape[0]
+    per = mesh.shape[axis_name]
+    assert R % per == 0, (
+        f"ray count {R} must divide the {per}-device mesh (padding voxel "
+        f"rows would alias voxel (0,0,0))"
+    )
+    params = soft.init_params() if params0 is None else params0
+    _count, voxels, _d = soft.trace_hits(origins, dirs)
+    voxels = jax.lax.stop_gradient(voxels)
+    (v_sh, t_sh), _ = shard_rays(mesh, np.asarray(voxels), targets,
+                                 axis_name=axis_name)
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    if pipelined_microbatches:
+        step = sharded_soft_train_step_pipelined(
+            soft, mesh, opt, axis_name=axis_name,
+            microbatches=pipelined_microbatches,
+            opacity_l1=opacity_l1, fit_albedo=fit_albedo,
+        )
+    else:
+        step = sharded_soft_train_step(
+            soft, mesh, opt, axis_name=axis_name,
+            opacity_l1=opacity_l1, fit_albedo=fit_albedo,
+        )
+    losses = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, v_sh, t_sh)
+        losses.append(float(loss))
+    return params, losses

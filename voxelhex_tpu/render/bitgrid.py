@@ -448,8 +448,15 @@ def plan_from_rounds(rounds, shrink: int = 4, min_bucket: int = 8192,
             bucket = min(bucket * shrink, cur)
         plan.append((r["iters"], bucket if bucket < cur else None))
         cur = min(bucket, cur)
-    # previous frame ended with actives (max_iters); replay + adapt
-    return _wrap(plan)
+    # previous frame ended with actives (max_iters): the plan is INCOMPLETE —
+    # mark it so the fused path (which cannot extend a schedule) routes it
+    # through the non-fused replay that adaptively finishes the stragglers,
+    # instead of paying a full fused trace + a full adaptive retrace per frame
+    out = _wrap(plan)
+    if not isinstance(out, dict):
+        out = {"pre": None, "rounds": out}
+    out["complete"] = False
+    return out
 
 
 def make_bitgrid_tracer(bg: BitGrid, max_iters: int = 2048, max_restarts: int = 4,
@@ -1354,9 +1361,19 @@ class BitGridRenderer:
             S = int(bg.size)
             c = 4**L
             m = S // c
-            occ = (np.asarray(bg.colors) != COLOR_EMPTY).reshape(S, S, S)
-            occ = occ.transpose(2, 1, 0)  # -> [x, y, z]
-            cells = occ.reshape(m, c, m, c, m, c).any(axis=(1, 3, 5))
+            # occupancy from the level-0 PYRAMID words (authoritative for
+            # traversal), not colors — the two can diverge (e.g. the soft
+            # path's dilated candidate grids occupy colorless voxels)
+            m0 = S // 4
+            b0 = int(bg.level_bases[0])
+            n0 = m0 * m0 * m0
+            words = (
+                np.asarray(bg.occ_lo[b0 : b0 + n0])
+                | np.asarray(bg.occ_hi[b0 : b0 + n0])
+            ) != 0
+            blocks = words.reshape(m0, m0, m0).transpose(2, 1, 0)  # [x,y,z]
+            f = c // 4  # level-0 blocks per beam cell per axis (L>=1)
+            cells = blocks.reshape(m, f, m, f, m, f).any(axis=(1, 3, 5))
             g = np.zeros((m + 4, m + 4, m + 4), dtype=bool)
             g[2 : m + 2, 2 : m + 2, 2 : m + 2] = cells
             dil = np.zeros((m + 2, m + 2, m + 2), dtype=bool)
@@ -1372,15 +1389,19 @@ class BitGridRenderer:
             )
         return self._beam_cache[L]
 
-    def _beam_fn(self, L, th, tw, tile):
-        key = (L, th, tw, tile)
-        if key in self._beam_fns:
-            return self._beam_fns[key]
+    def _beam_body(self, L, th, tw, tile):
+        """TRACEABLE beam prepass: ``body(tree_b, o, d) -> start[-1]`` over
+        the level-L dilated cell grid.  Composable into the fused frame
+        program (_fused_plan_fn) so a beam frame stays ONE dispatch — the
+        reference's two-pass dispatch (pipeline/mod.rs:116-150) collapsed
+        into a single program."""
         _, tr = self._beam_setup(L)
         iters = self._BEAM_ITERS
+        max_restarts = self._BEAM_RESTARTS
+        cell = float(4**L)
+        margin = 1.5 * cell
 
-        @jax.jit
-        def f(tree_b, o, d, cell, margin):
+        def body(tree_b, o, d):
             o_b = o / cell + 1.0  # world -> beam-grid coords (1-cell ring)
             st = tr.init(tree_b, o_b, d)
             st, _ = tr.run(tree_b, st, iters)
@@ -1388,7 +1409,7 @@ class BitGridRenderer:
             t = jnp.linalg.norm(hpoint - o_b, axis=-1) * cell
             # still-active (iteration cap) or restart-capped beams proved
             # nothing: their tiles march from the world entry
-            unknown = active | (restarts > self._BEAM_RESTARTS)
+            unknown = active | (restarts > max_restarts)
             s = jnp.where(
                 hit,
                 jnp.maximum(t - margin, 0.0),
@@ -1397,12 +1418,19 @@ class BitGridRenderer:
             s = jnp.repeat(jnp.repeat(s.reshape(th, tw), tile, 0), tile, 1)
             return s.reshape(-1)
 
-        self._beam_fns[key] = f
-        return f
+        return body
 
-    def beam_start(self, camera, tile: int | None = None):
-        """Per-ray conservative start distances [h*w] from the beam prepass,
-        or None when the camera/scene geometry can't satisfy the bound."""
+    def _beam_fn(self, L, th, tw, tile):
+        key = (L, th, tw, tile)
+        if key not in self._beam_fns:
+            self._beam_fns[key] = jax.jit(self._beam_body(L, th, tw, tile))
+        return self._beam_fns[key]
+
+    def _beam_spec(self, camera, tile: int | None = None):
+        """Everything a frame needs to run the beam prepass — either as its
+        own dispatch (:meth:`beam_start`) or traced into the fused frame
+        program.  None when the camera/scene geometry can't satisfy the
+        conservative bound."""
         from voxelhex_tpu.render.camera import Camera, device_rays
 
         tile = tile or self.beam_tile
@@ -1421,9 +1449,21 @@ class BitGridRenderer:
             resolution=(w // tile, h // tile),
         )
         o_b, d_b = device_rays(cam_b)
-        cell = float(4**L)
-        fn = self._beam_fn(L, h // tile, w // tile, tile)
-        return fn(tree_b, o_b, d_b, F32(cell), F32(1.5 * cell))
+        return {
+            "key": (L, h // tile, w // tile, tile),
+            "tree_b": tree_b,
+            "o_b": o_b,
+            "d_b": d_b,
+        }
+
+    def beam_start(self, camera, tile: int | None = None):
+        """Per-ray conservative start distances [h*w] from the beam prepass,
+        or None when the camera/scene geometry can't satisfy the bound."""
+        spec = self._beam_spec(camera, tile)
+        if spec is None:
+            return None
+        fn = self._beam_fn(*spec["key"])
+        return fn(spec["tree_b"], spec["o_b"], spec["d_b"])
 
     def _prepass_fn(self, h, w, levels):
         """Jitted multi-level renderer: trace at 1/2**levels resolution, then
@@ -1512,19 +1552,26 @@ class BitGridRenderer:
         rgb = self._lod_cache[key](self.tree, o_d, d_d, jnp.asarray(bg, dtype=F32))
         return np.asarray(rgb).reshape(h, w, 3)
 
-    def _fused_plan_fn(self, R, preb, entries, has_start):
+    def _fused_plan_fn(self, R, preb, entries, has_start, beam_key=None):
         """One jitted program executing an entire planned frame: init,
         optional round-0 compaction to ``preb``, every (iters, bucket)
         round of ``entries``, the final scatter, color resolve and shading.
         Returns (hit, voxel, hvox, hpoint, hnormal, rgb, counts) where
         ``counts`` = [pre_alive?] + per-round straggler counts — the
-        frame's ONE blocking read, used for overflow detection."""
-        key = (R, preb, entries, has_start)
+        frame's ONE blocking read, used for overflow detection.
+
+        ``beam_key``: when set, the BEAM PREPASS is traced into the same
+        program (the fused fn then takes the beam tree + beam rays and
+        computes the conservative starts itself) — a beam frame costs one
+        dispatch total, vs the separate ``beam_start`` dispatch that loses
+        in dispatch-bound tunnel sessions (PERF.md "Beam prepass")."""
+        key = (R, preb, entries, has_start, beam_key)
         fn = self._fused_fns.get(key)
         if fn is not None:
             return fn
         trace = self._trace
         raw = self._raw_fns
+        beam_body = self._beam_body(*beam_key) if beam_key else None
 
         def build(tree, o, dv, st, bgc):
             state = trace.init(tree, o, dv, st if has_start else None)
@@ -1565,7 +1612,13 @@ class BitGridRenderer:
             voxel, rgb = raw["finish"](tree, hit, hvox, hnormal, bgc)
             return hit, voxel, hvox, hpoint, hnormal, rgb, jnp.stack(counts)
 
-        if has_start:
+        if beam_key is not None:
+            fn = jax.jit(
+                lambda tree, tree_b, o, dv, o_b, d_b, bgc: build(
+                    tree, o, dv, beam_body(tree_b, o_b, d_b), bgc
+                )
+            )
+        elif has_start:
             fn = jax.jit(build)
         else:
             fn = jax.jit(
@@ -1576,9 +1629,11 @@ class BitGridRenderer:
 
     def _trace_fused(self, origins, directions, o, dv, st, plan_pre,
                      plan_rounds, shade_bg, plan_key, start_t, round_iters,
-                     shrink, min_bucket, first_round_iters):
+                     shrink, min_bucket, first_round_iters, beam=None):
         """Planned frame as one dispatch (see _fused_plan_fn).  Falls back
-        to the adaptive loop when the plan overflowed or left stragglers."""
+        to the adaptive loop when the plan overflowed or left stragglers.
+        With ``beam`` (a _beam_spec dict) the beam prepass is traced into
+        the same dispatch."""
         import time as _time
 
         t_start = _time.time()
@@ -1587,10 +1642,19 @@ class BitGridRenderer:
             (int(i), (int(b) if b is not None else None))
             for i, b in plan_rounds
         )
-        preb = int(plan_pre) if (plan_pre and st is not None) else None
-        fn = self._fused_plan_fn(R, preb, entries, st is not None)
+        has_start = (st is not None) or (beam is not None)
+        preb = int(plan_pre) if (plan_pre and has_start) else None
+        fn = self._fused_plan_fn(
+            R, preb, entries, has_start,
+            beam_key=(beam["key"] if beam is not None else None),
+        )
         bgc = jnp.asarray(shade_bg, dtype=F32)
-        if st is not None:
+        if beam is not None:
+            hit, voxel, hvox, hpoint, hnormal, rgb, counts = fn(
+                self.tree, beam["tree_b"], o, dv, beam["o_b"], beam["d_b"],
+                bgc,
+            )
+        elif st is not None:
             hit, voxel, hvox, hpoint, hnormal, rgb, counts = fn(
                 self.tree, o, dv, st, bgc
             )
@@ -1628,7 +1692,7 @@ class BitGridRenderer:
                 origins, directions, start_t=start_t,
                 round_iters=round_iters, shrink=shrink,
                 min_bucket=min_bucket, shade_bg=shade_bg,
-                first_round_iters=first_round_iters,
+                first_round_iters=first_round_iters, beam=beam,
             )
         self.last_stats = {
             "rays": int(R),
@@ -1637,6 +1701,7 @@ class BitGridRenderer:
             "trace_seconds": round(_time.time() - t_start, 4),
             "planned": True,
             "fused": True,
+            "beam_fused": beam is not None,
             "pre": pre,
         }
         self._plans[plan_key] = plan_from_rounds(
@@ -1647,7 +1712,7 @@ class BitGridRenderer:
     def trace_compacted(
         self, origins, directions, start_t=None, round_iters: int = 14,
         shrink: int = 4, min_bucket: int = 8192, shade_bg=None,
-        first_round_iters: int | None = None, plan=None,
+        first_round_iters: int | None = None, plan=None, beam=None,
     ):
         """Trace with straggler compaction: run fixed-iteration rounds and
         periodically pack the still-active rays into a 1/shrink-size buffer,
@@ -1671,7 +1736,11 @@ class BitGridRenderer:
         dv = jnp.asarray(directions, dtype=F32).reshape(-1, 3)
         R = o.shape[0]
         st = None if start_t is None else jnp.asarray(start_t).reshape(-1)
-        plan_key = (R, start_t is not None, round_iters, first_round_iters)
+        # ``beam``: a _beam_spec dict — the frame has a conservative start
+        # even when ``start_t`` wasn't materialized on the host (the fused
+        # path traces the beam prepass INTO the frame program)
+        has_start = (st is not None) or (beam is not None)
+        plan_key = (R, has_start, round_iters, first_round_iters)
         if plan is None and self.auto_plan:
             plan = self._plans.get(plan_key)
         # plans come in two shapes: a legacy list of (iters, bucket) pairs,
@@ -1680,16 +1749,25 @@ class BitGridRenderer:
         # ZERO blocking host reads before the schedule's one batched fetch
         plan_pre = None
         plan_rounds = plan
+        plan_complete = True
         if isinstance(plan, dict):
             plan_pre = plan.get("pre")
             plan_rounds = plan.get("rounds")
+            plan_complete = plan.get("complete", True)
 
-        if plan_rounds and self.fuse_plan and shade_bg is not None:
+        if (plan_rounds and plan_complete and self.fuse_plan
+                and shade_bg is not None):
             # whole planned frame as ONE dispatch (init fused in too)
             return self._trace_fused(
                 origins, directions, o, dv, st, plan_pre, plan_rounds,
                 shade_bg, plan_key, start_t, round_iters, shrink,
-                min_bucket, first_round_iters,
+                min_bucket, first_round_iters, beam=beam,
+            )
+        if st is None and beam is not None:
+            # not fusing this frame: the beam prepass runs as its own
+            # dispatch, exactly like beam_start()
+            st = self._beam_fn(*beam["key"])(
+                beam["tree_b"], beam["o_b"], beam["d_b"]
             )
 
         state = fns["init"](self.tree, o, dv, st)
@@ -1785,9 +1863,11 @@ class BitGridRenderer:
                     overflow = True  # compaction dropped active rays
             if overflow:
                 # drop the stale schedule so auto_plan can't re-enter it
+                # (st covers both the caller's start_t and a beam start
+                # already materialized above — no second beam dispatch)
                 self._plans.pop(plan_key, None)
                 return self.trace_compacted(
-                    origins, directions, start_t=start_t,
+                    origins, directions, start_t=st,
                     round_iters=round_iters, shrink=shrink,
                     min_bucket=min_bucket, shade_bg=shade_bg,
                     first_round_iters=first_round_iters,
@@ -1918,10 +1998,13 @@ class BitGridRenderer:
         from voxelhex_tpu.render.camera import Camera
 
         if beam_prepass and levels == 0:
-            start = self.beam_start(camera)
-            if start is not None:
+            # the beam spec (not materialized starts): planned fused frames
+            # trace the beam INTO the one-dispatch frame program; otherwise
+            # trace_compacted runs it as its own dispatch, as before
+            spec = self._beam_spec(camera)
+            if spec is not None:
                 _hit, _v, _hv, _hp, _hn, rgb = self.trace_compacted(
-                    o, dv, start_t=start, shade_bg=bgc,
+                    o, dv, beam=spec, shade_bg=bgc,
                     first_round_iters=self.beam_first_iters,
                 )
                 if out_u8:
