@@ -89,6 +89,57 @@ def test_streaming_service_serves_windowed_scene():
     assert not np.array_equal(rgb, rgb2)
 
 
+def test_view_distance_endpoint():
+    """POST /view (the whisp view-distance knob): switches the live scene
+    between dense rendering and streaming windows of different sizes, and
+    /stats reports the active window + far-field rings."""
+    tree = _scene(size=256)
+    service = RenderService(tree)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def post_view(n):
+            req = urllib.request.Request(
+                f"{base}/view", data=json.dumps({"view_size": n}).encode(),
+                method="POST",
+            )
+            return json.load(urllib.request.urlopen(req, timeout=60))
+
+        assert service.view is None  # starts dense
+        stats = post_view(64)
+        assert stats["streaming"] and stats["view_size"] == 64
+        assert service.view is not None and service.view.view_size == 64
+        # frames still serve through the streaming path (with far rings)
+        rgb = service.render([-30, 60, -30], [32, 16, 32], (48, 36))
+        assert rgb.shape == (36, 48, 3)
+        stats = json.load(urllib.request.urlopen(f"{base}/stats", timeout=60))
+        assert stats.get("far_tiers"), "far-field rings missing from stats"
+        # 0 = max view distance: back to dense
+        stats = post_view(0)
+        assert not stats["streaming"] and stats["view_size"] is None
+        assert service.view is None
+        # invalid (non-REGION-aligned) sizes are a client error
+        req = urllib.request.Request(
+            f"{base}/view", data=json.dumps({"view_size": 100}).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP error for view_size=100")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        srv.shutdown()
+
+
+def test_viewer_page_has_view_distance_control(server):
+    _service, base = server
+    html = urllib.request.urlopen(f"{base}/", timeout=30).read().decode()
+    assert "view distance" in html and "/view" in html
+
+
 def _tiny_vox_bytes():
     """Minimal valid .vox: one 8^3 model with a few voxels."""
     import struct

@@ -1082,8 +1082,42 @@ class BitGridRenderer:
             )
 
         def _apply_perm(state, orig, perm):
-            state = jax.tree.map(lambda a: a[perm], state)
-            return state, orig[perm]
+            # ONE-row-gather compaction: the state tuple is ~19 arrays, and
+            # 19 separate row gathers cost ~19x one wide gather (PERF.md
+            # "minimize gather OP COUNT, then width" — measured 4.5x for 2
+            # vs 1 at frame scale, and the round-0 compaction at 518k rows
+            # was eating most of the beam prepass's 179 ms round-1 saving).
+            # Pack every column into a single [R, W] u32 matrix (f32/i32
+            # bitcast, bool widened), gather survivor rows once, unpack.
+            arrs = list(state) + [orig]
+            cols = []
+            specs = []
+            for a in arrs:
+                a2 = a[:, None] if a.ndim == 1 else a
+                d = a.dtype
+                if d == jnp.bool_:
+                    u = a2.astype(jnp.uint32)
+                elif d == jnp.uint32:
+                    u = a2
+                else:
+                    u = jax.lax.bitcast_convert_type(a2, jnp.uint32)
+                specs.append((d, a.ndim, u.shape[1]))
+                cols.append(u)
+            packed = jnp.concatenate(cols, axis=1)
+            rows = packed[perm]  # the one gather
+            out = []
+            k = 0
+            for d, nd, w in specs:
+                u = rows[:, k:k + w]
+                k += w
+                if d == jnp.bool_:
+                    a = u != 0
+                elif d == jnp.uint32:
+                    a = u
+                else:
+                    a = jax.lax.bitcast_convert_type(u, d)
+                out.append(a[:, 0] if nd == 1 else a)
+            return tuple(out[:-1]), out[-1]
 
         resolve_color = self._trace.resolve_color
 

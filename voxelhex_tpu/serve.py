@@ -139,6 +139,26 @@ class RenderService:
                 self.renderer = BitGridRenderer(flatten(tree),
                                                 fuse_plan=self.fuse_plan)
 
+    def set_view_size(self, view_size: int | None) -> None:
+        """Live view-distance control (whisp's view-distance knob,
+        whisp/src/ui/mod.rs:10-22): rebuild the render path around the
+        current tree with a new streaming window size.  ``None``/0 or a
+        size >= the scene renders the whole scene dense (max distance);
+        smaller powers of two stream a camera-following window with
+        far-field LOD rings behind it."""
+        if view_size is not None:
+            view_size = int(view_size)
+            if view_size <= 0 or view_size >= int(self.tree.size):
+                view_size = None
+            else:
+                from voxelhex_tpu.render.streaming import REGION
+
+                if view_size % REGION:
+                    raise ValueError(
+                        f"view_size must be a multiple of {REGION}"
+                    )
+        self.load_scene(self.tree, view_size=view_size)
+
     def load_vox_bytes(self, data: bytes, name: str = "model.vox",
                        brick_dim: int = 4, cache_dir=None) -> None:
         """Load an uploaded .vox, with a bencode disk cache — the whisp
@@ -185,7 +205,14 @@ class RenderService:
             "node_count": int(self.tree.node_count),
             "frames_served": self.frames_served,
             "streaming": self.view is not None,
+            "view_size": (int(self.view.view_size)
+                          if self.view is not None else None),
         }
+        if self.view is not None and self.view.far is not None:
+            out["far_tiers"] = [
+                {"factor": t.factor, "cells": t.cells}
+                for t in self.view.far.tiers
+            ]
         if r is not None and getattr(r, "last_stats", None):
             out["last_trace"] = r.last_stats
         return out
@@ -256,6 +283,15 @@ def make_server(service: RenderService, host: str = "127.0.0.1",
                     self._send(200, json.dumps(
                         {"loaded": True, "size": int(service.tree.size)}
                     ).encode(), "application/json")
+                elif url.path == "/view":
+                    # view-distance control (whisp's slider,
+                    # whisp/src/ui/mod.rs:10-22): {"view_size": N} streams
+                    # an N^3 window (+far-field rings); 0/null = dense
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    service.set_view_size(body.get("view_size"))
+                    self._send(200, json.dumps(service.stats()).encode(),
+                               "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")
             except Exception as e:  # noqa: BLE001
@@ -273,6 +309,10 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--view", type=int, default=None,
                     help="streaming view window size (out-of-core scenes)")
+    ap.add_argument("--terrain", type=int, default=0, metavar="WORLD",
+                    help="serve a procedural WORLD^3 terrain through a "
+                         "streaming window (browser fly-through demo; "
+                         "default window 256 unless --view given)")
     ap.add_argument("--brick", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fuse-plan", action="store_true",
@@ -291,7 +331,19 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    if args.model:
+    if args.terrain:
+        import importlib.util
+        import sys as _sys
+
+        spec = importlib.util.spec_from_file_location(
+            "terrain_demo", os.path.join(repo, "examples", "terrain.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        tree = mod.build_terrain(int(args.terrain), brick_dim=args.brick)
+        if args.view is None:
+            args.view = min(256, int(args.terrain))
+    elif args.model:
         from voxelhex_tpu.io.vox import load_vox_tree_cached
 
         tree = load_vox_tree_cached(args.model, brick_dim=args.brick)

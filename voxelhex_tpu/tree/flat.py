@@ -342,3 +342,74 @@ def sample_coarse(flat: FlatTree, pts: np.ndarray, granularity: int | None = Non
     bit_only = ~has_mip & ~is_leaf & bit_occupied
     color[bit_only] = NO_COLOR_HIT
     return occupied, color
+
+
+def coarse_candidate_cells(flat: FlatTree, g: int, lo, hi):
+    """Conservative candidate OCCUPIED cells of edge ``g`` within the world
+    box [lo, hi): unique [N, 3] int64 cell indices (world // g) from a
+    vectorized occupancy-bit node walk.
+
+    Cost is O(occupied nodes + emitted candidates) — NOT O(volume / g^3) —
+    so whole-world coarse grids build in time proportional to content (the
+    reference's upload queue likewise walks tree nodes out to per-level
+    inclusion distances rather than scanning space,
+    src/raytracing/bevy/streaming/upload_queue.rs:150-207).
+
+    Every truly occupied cell is included (occupancy bits are maintained
+    for the whole subtree); some candidates may be empty — callers filter
+    with :func:`sample_coarse` on the candidate centers.
+    """
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    g = int(g)
+    keys = np.zeros(1, dtype=np.int64)
+    mins = np.zeros((1, 3), dtype=np.int64)
+    sizes = np.full(1, int(flat.size), dtype=np.int64)
+    sect = np.arange(64, dtype=np.int64)
+    soff = np.stack([sect % 4, (sect // 4) % 4, sect // 16], axis=-1)
+
+    box_min = []
+    box_size = []
+    while keys.size:
+        oc = flat.node_ocbits[keys]
+        occ64 = oc[:, 0].astype(np.uint64) | (
+            oc[:, 1].astype(np.uint64) << np.uint64(32)
+        )
+        bits = ((occ64[:, None] >> sect.astype(np.uint64)[None, :])
+                & np.uint64(1)).astype(bool)
+        cell = sizes // 4  # [K]
+        cmin = mins[:, None, :] + soff[None, :, :] * cell[:, None, None]
+        keep = bits
+        keep &= np.all(cmin + cell[:, None, None] > lo, axis=-1)
+        keep &= np.all(cmin < hi, axis=-1)
+        child = flat.node_children[keys].astype(np.int64)
+        is_leaf = (flat.node_meta[keys] & META_LEAF) != 0
+        descend = keep & ~is_leaf[:, None] & (child >= 0) & (cell[:, None] > g)
+        emit = keep & ~descend
+        em = emit.reshape(-1)
+        if em.any():
+            box_min.append(cmin.reshape(-1, 3)[em])
+            box_size.append(np.repeat(cell, 64)[em])
+        de = descend.reshape(-1)
+        keys = child.reshape(-1)[de]
+        mins = cmin.reshape(-1, 3)[de]
+        sizes = np.repeat(cell, 64)[de]
+
+    if not box_min:
+        return np.zeros((0, 3), dtype=np.int64)
+    bm = np.concatenate(box_min)
+    bs = np.concatenate(box_size)
+    c0 = np.maximum(bm, lo) // g
+    c1 = (np.minimum(bm + bs[:, None], hi) + g - 1) // g  # exclusive
+    ext = c1 - c0
+    one = np.all(ext <= 1, axis=1)
+    cells = [c0[one]]
+    for i in np.nonzero(~one)[0]:  # boxes spanning many cells (large
+        # uniform leaves / unsubdivided occupied sectants) — rare, and the
+        # expansion cost IS the candidate count
+        ax = [np.arange(c0[i, a], c1[i, a]) for a in range(3)]
+        cells.append(
+            np.stack(np.meshgrid(*ax, indexing="ij"), axis=-1).reshape(-1, 3)
+        )
+    out = np.concatenate(cells)
+    return np.unique(out, axis=0)
