@@ -474,6 +474,8 @@ def test_fused_plan_single_dispatch_frames():
     f1 = rf.render(cam, out_u8=True)  # adaptive (no plan yet) — records
     f2 = rf.render(cam, out_u8=True)  # fused replay
     assert rf.last_stats.get("fused")
+    # the steady-state frame was ONE dispatch including raygen + u8
+    assert rf.last_stats.get("frame_fused")
     np.testing.assert_array_equal(f1, plain)
     np.testing.assert_array_equal(f2, plain)
     b1 = rf.render(cam, beam_prepass=True, out_u8=True)  # records beam plan

@@ -1,30 +1,33 @@
-"""PROTOTYPE: Pallas tile-traversal kernel for the BitGrid automaton.
+"""CONCLUDED (round 3): Pallas tile-traversal kernel — Mosaic dead end.
 
-Round-2 groundwork (see PERF.md "next levers").  The XLA renderer runs all
-rays in lock-step and pays scalar-core gather costs per iteration; this
-kernel processes rays in independent grid tiles so each tile's loop exits as
-soon as ITS rays finish, keeps the occupancy pyramid resident in VMEM, and
-performs the per-ray word fetch with a scalar-core loop over lanes (Mosaic
-has no wide vector gather — see PERF.md).
+The XLA renderer runs all rays in lock-step and pays scalar-core gather
+costs per iteration; this kernel processes rays in independent grid tiles
+so each tile's loop exits as soon as ITS rays finish, with the occupancy
+pyramid resident in VMEM.  It is CORRECT (validated against the XLA tracer
+in interpreter mode, tests/test_ops_pallas.py) but CANNOT COMPILE on TPU,
+and round 3's systematic probe of every in-kernel gather formulation
+(jax 0.9.0 Mosaic, 2026-08-21) confirmed the dead end — see PERF.md
+"Pallas verdict" for the full matrix:
 
-Scope/limits of the prototype:
-* whole pyramid must fit the VMEM budget (≲ 8 MB ⇒ scenes ≤ 256³);
-* hit output is (hit, voxel coords); color resolve stays outside;
-* validated against the XLA tracer in interpreter mode.
+* per-lane scalar-store loop: "Cannot store scalars to VMEM";
+* ``jnp.take``/fancy row indexing (any table shape): "Shape mismatch in
+  input, indices and output" / "Only 2D gather is supported";
+* ``take_along_axis`` axis 0 or 1, [N,2]/[N,128]/[8,65536] tables:
+  lowering assertion failures (single-vreg tables only, per PERF.md);
+* ``pl.ds`` dynamic-slice row loads + where-accumulate: serializes T
+  scalar-indexed loads per fetch on the scalar core — measured no faster
+  than XLA's out-of-loop gather fast path, with none of its pipelining;
+* scalar-prefetch (addresses in SMEM): addresses here are loop-carried
+  vector state (the address for iteration k+1 is computed IN iteration k
+  from the fetched words), so no prefetch schedule can exist — this is
+  inherent to pointer-chasing traversal, not a formulation choice.
 
-TPU compilation status (measured 2026-08-17): Mosaic REJECTS the per-lane
-scalar-fetch loop — ``word_scr[i, 0] = occ_ref[a, 0]`` fails with "Cannot
-store scalars to VMEM".  Known alternatives and their blockers:
-* where-accumulate into register vectors with ``pl.ds(a, 1)`` dynamic row
-  loads — avoids scalar stores but still serializes 1024 scalar-indexed
-  loads per fetch, which the scalar core executes no faster than XLA's
-  out-of-loop gather fast-path (~5 ns/elem);
-* scalar-prefetch (addresses in SMEM) — addresses are loop-carried vector
-  state here, not precomputable outside the kernel;
-* ``take_along_axis`` — single-vreg tables only (see PERF.md).
-Until Mosaic grows a wide vector gather, the XLA round-loop renderer
-(bitgrid.py) remains the production path; this kernel stays an
-interpreter-mode testbed for the traversal logic.
+The bound it cannot beat: the XLA round loop already runs at the chip's
+measured 11.9 ns/ray/iter one-row-gather floor (PERF.md "Floor
+accounting"), and beam + round-0 compaction + fused planned frames remove
+the round-structure waste a tile kernel would address.  Kept (demoted) as
+an interpreter-mode executable spec of the traversal automaton; delete if
+Mosaic ever grows a wide vector gather and a fresh attempt supersedes it.
 
 Tile shape: (8, 128) rays per grid program.
 """

@@ -1586,7 +1586,8 @@ class BitGridRenderer:
         rgb = self._lod_cache[key](self.tree, o_d, d_d, jnp.asarray(bg, dtype=F32))
         return np.asarray(rgb).reshape(h, w, 3)
 
-    def _fused_plan_fn(self, R, preb, entries, has_start, beam_key=None):
+    def _fused_plan_fn(self, R, preb, entries, has_start, beam_key=None,
+                       cam=None, u8=False):
         """One jitted program executing an entire planned frame: init,
         optional round-0 compaction to ``preb``, every (iters, bucket)
         round of ``entries``, the final scatter, color resolve and shading.
@@ -1598,8 +1599,16 @@ class BitGridRenderer:
         program (the fused fn then takes the beam tree + beam rays and
         computes the conservative starts itself) — a beam frame costs one
         dispatch total, vs the separate ``beam_start`` dispatch that loses
-        in dispatch-bound tunnel sessions (PERF.md "Beam prepass")."""
-        key = (R, preb, entries, has_start, beam_key)
+        in dispatch-bound tunnel sessions (PERF.md "Beam prepass").
+
+        ``cam``: a (w, h) resolution — RAY GENERATION is traced into the
+        program too (the fn takes ~60 B of camera params instead of ray
+        arrays), and with ``beam_key`` the beam rays derive from the same
+        params at w//tile x h//tile.  With ``u8`` the output quantizes on
+        device inside the same program.  Together these make a steady-state
+        frame exactly ONE dispatch: raygen, beam, init, round-0 compaction,
+        rounds, compactions, shade, u8."""
+        key = (R, preb, entries, has_start, beam_key, cam, u8)
         fn = self._fused_fns.get(key)
         if fn is not None:
             return fn
@@ -1607,19 +1616,50 @@ class BitGridRenderer:
         raw = self._raw_fns
         beam_body = self._beam_body(*beam_key) if beam_key else None
 
+        resolve_color = trace.resolve_color
+
         def build(tree, o, dv, st, bgc):
+            # The per-ray RESULT lives in ONE packed [R, 14] u32 accumulator
+            # (hit, voxel, hvox*3, hnormal*3, hpoint*3, rgb*3): each
+            # compaction then writes its rows back with a single wide
+            # scatter instead of 4, and color resolve + shading happen ON
+            # THE COMPACTED DOMAIN as rays retire (~4x fewer rows on the
+            # bench scene) instead of a full-width pass at the end — the
+            # full-frame finish measured ~90 ms of the fused frame.
+            # Identical math per ray, so results stay bit-exact.
             state = trace.init(tree, o, dv, st if has_start else None)
             counts = []
             orig = None
-            hit = hvox = hnormal = hpoint = None
+            acc = None
 
-            def adopt(state, cur):
-                return (state[11], state[12], state[13], state[0],
-                        jnp.arange(cur, dtype=I32))
+            def pack_rows(state, shade):
+                hit, hvox, hnormal, hpoint = (
+                    state[11], state[12], state[13], state[0]
+                )
+                if shade:
+                    voxel = resolve_color(tree, hit, hvox)
+                    rgb = _shade(tree, hit, voxel, hnormal, bgc)
+                else:
+                    # pre-round-0 drop: nothing has hit yet — every
+                    # retired row is a miss (voxel=EMPTY, rgb=bg later)
+                    voxel = jnp.full(hit.shape, EMPTY_DESC, dtype=I32)
+                    rgb = jnp.zeros_like(hnormal)
+                u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+                return jnp.concatenate(
+                    [hit[:, None].astype(jnp.uint32), u32(voxel[:, None]),
+                     u32(hvox), u32(hnormal), u32(hpoint), u32(rgb)],
+                    axis=1,
+                )
+
+            def retire(acc, orig, state, cur, shade=True):
+                rows = pack_rows(state, shade)
+                if orig is None:
+                    return rows, jnp.arange(cur, dtype=I32)
+                return acc.at[orig].set(rows), orig
 
             if preb is not None:
                 counts.append(jnp.sum(state[10].astype(I32)))
-                hit, hvox, hnormal, hpoint, orig = adopt(state, R)
+                acc, orig = retire(acc, orig, state, R, shade=False)
                 p = raw["perm"](state[10], preb)
                 state, orig = raw["apply_perm"](state, orig, p)
             for iters, bucket in entries:
@@ -1627,26 +1667,52 @@ class BitGridRenderer:
                 counts.append(n.astype(I32))
                 cur = state[0].shape[0]
                 if bucket is not None and bucket < cur:
-                    if orig is None:
-                        hit, hvox, hnormal, hpoint, orig = adopt(state, cur)
-                    else:
-                        hit, hvox, hnormal, hpoint = raw["scatter"](
-                            state, orig, hit, hvox, hnormal, hpoint
-                        )
+                    acc, orig = retire(acc, orig, state, cur)
                     p = raw["perm"](state[10], bucket)
                     state, orig = raw["apply_perm"](state, orig, p)
-            if orig is None:
-                hit, hvox, hnormal, hpoint = (
-                    state[11], state[12], state[13], state[0]
+            acc, orig = retire(acc, orig, state, state[0].shape[0])
+            i32 = lambda a: jax.lax.bitcast_convert_type(a, I32)
+            f32 = lambda a: jax.lax.bitcast_convert_type(a, F32)
+            hit = acc[:, 0] != 0
+            voxel = i32(acc[:, 1])
+            hvox = i32(acc[:, 2:5])
+            hnormal = f32(acc[:, 5:8])
+            hpoint = f32(acc[:, 8:11])
+            rgb = jnp.where(
+                hit[:, None], f32(acc[:, 11:14]),
+                jnp.broadcast_to(bgc, (acc.shape[0], 3)),
+            )
+            if u8:
+                rgb = jnp.clip(jnp.round(rgb * 255.0), 0.0, 255.0).astype(
+                    jnp.uint8
                 )
-            else:
-                hit, hvox, hnormal, hpoint = raw["scatter"](
-                    state, orig, hit, hvox, hnormal, hpoint
-                )
-            voxel, rgb = raw["finish"](tree, hit, hvox, hnormal, bgc)
             return hit, voxel, hvox, hpoint, hnormal, rgb, jnp.stack(counts)
 
-        if beam_key is not None:
+        if cam is not None:
+            from voxelhex_tpu.render.camera import raygen_body
+
+            w, h = cam
+            gen_main = raygen_body(w, h)
+            if beam_key is not None:
+                tile = beam_key[3]
+                gen_beam = raygen_body(w // tile, h // tile)
+
+                def fn_cam(tree, tree_b, origin, right, up, forward, scale,
+                           bgc):
+                    o, dv = gen_main(origin, right, up, forward, scale)
+                    o_b, d_b = gen_beam(origin, right, up, forward, scale)
+                    return build(tree, o, dv, beam_body(tree_b, o_b, d_b),
+                                 bgc)
+
+                fn = jax.jit(fn_cam)
+            else:
+
+                def fn_cam(tree, origin, right, up, forward, scale, bgc):
+                    o, dv = gen_main(origin, right, up, forward, scale)
+                    return build(tree, o, dv, None, bgc)
+
+                fn = jax.jit(fn_cam)
+        elif beam_key is not None:
             fn = jax.jit(
                 lambda tree, tree_b, o, dv, o_b, d_b, bgc: build(
                     tree, o, dv, beam_body(tree_b, o_b, d_b), bgc
@@ -1660,6 +1726,104 @@ class BitGridRenderer:
             )
         self._fused_fns[key] = fn
         return fn
+
+    def _counts_verdict(self, counts_h, preb, entries, R):
+        """Shared overflow/stat bookkeeping for fused frames: returns
+        (bad, rounds, pre, total_iters) from the batched counts read.
+        ``bad`` = a compaction bucket overflowed (rays dropped) or the last
+        round left live stragglers the static program cannot extend."""
+        k = 0
+        pre = None
+        overflow = False
+        if preb is not None:
+            n0 = int(counts_h[0])
+            k = 1
+            pre = {"n_alive": n0, "bucket": preb, "R0": R, "planned": True}
+            if n0 > preb:
+                overflow = True
+        cur = preb if preb is not None else R
+        rounds = []
+        total_iters = 0
+        for i, (iters, bucket) in enumerate(entries):
+            n = int(counts_h[k + i])
+            rounds.append({"bucket": int(cur), "iters": int(iters),
+                           "n_active": n, "seconds": 0.0, "planned": True})
+            total_iters += iters
+            if bucket is not None and n > bucket:
+                overflow = True
+            if bucket is not None and bucket < cur:
+                cur = bucket
+        bad = overflow or int(counts_h[-1]) != 0
+        return bad, rounds, pre, total_iters
+
+    def _try_render_fused(self, camera, bgc, beam_prepass, out_u8):
+        """Steady-state WHOLE-FRAME-ONE-DISPATCH path: when a complete plan
+        is already recorded for this frame shape, run raygen, beam
+        prepass, init, round-0 compaction, every round, the compactions,
+        shading and u8 quantization as ONE jitted program whose inputs are
+        ~60 bytes of camera parameters.  Removes the per-frame raygen and
+        u8 dispatches the tunnel charges for (CLAUDE.md dispatch-bound
+        sessions).  Returns the [h*w, 3] device frame, or None when no
+        complete plan exists or it overflowed — the caller then takes the
+        standard path, which records a fresh plan."""
+        if not self.fuse_plan:
+            return None
+        w, h = camera.resolution
+        R = w * h
+        spec = self._beam_spec(camera) if beam_prepass else None
+        has_start = spec is not None
+        first_iters = self.beam_first_iters if has_start else None
+        plan_key = (R, has_start, 14, first_iters)
+        plan = self._plans.get(plan_key)
+        if plan is not None and not isinstance(plan, dict):
+            plan = {"pre": None, "rounds": plan}
+        if plan is None or not plan.get("complete", True):
+            return None
+        plan_rounds = plan.get("rounds")
+        if not plan_rounds:
+            return None
+        import time as _time
+
+        from voxelhex_tpu.render.camera import camera_params
+
+        t_start = _time.time()
+        entries = tuple(
+            (int(i), (int(b) if b is not None else None))
+            for i, b in plan_rounds
+        )
+        preb = (int(plan["pre"])
+                if (plan.get("pre") and has_start) else None)
+        fn = self._fused_plan_fn(
+            R, preb, entries, has_start,
+            beam_key=(spec["key"] if spec is not None else None),
+            cam=(w, h), u8=bool(out_u8),
+        )
+        params = camera_params(camera)
+        if spec is not None:
+            out = fn(self.tree, spec["tree_b"], *params, bgc)
+        else:
+            out = fn(self.tree, *params, bgc)
+        rgb, counts = out[5], out[6]
+        counts_h = np.asarray(counts)  # the frame's ONE blocking read
+        bad, rounds, pre, total_iters = self._counts_verdict(
+            counts_h, preb, entries, R
+        )
+        if bad:
+            self._plans.pop(plan_key, None)
+            return None  # standard path re-renders and records a new plan
+        self.last_stats = {
+            "rays": int(R),
+            "total_iters": int(total_iters),
+            "rounds": rounds,
+            "trace_seconds": round(_time.time() - t_start, 4),
+            "planned": True,
+            "fused": True,
+            "frame_fused": True,  # raygen + u8 traced in as well
+            "beam_fused": spec is not None,
+            "pre": pre,
+        }
+        self._plans[plan_key] = plan_from_rounds(rounds, pre=pre)
+        return rgb
 
     def _trace_fused(self, origins, directions, o, dv, st, plan_pre,
                      plan_rounds, shade_bg, plan_key, start_t, round_iters,
@@ -1697,28 +1861,10 @@ class BitGridRenderer:
                 self.tree, o, dv, bgc
             )
         counts_h = np.asarray(counts)  # the frame's one blocking read
-        k = 0
-        pre = None
-        overflow = False
-        if preb is not None:
-            n0 = int(counts_h[0])
-            k = 1
-            pre = {"n_alive": n0, "bucket": preb, "R0": R, "planned": True}
-            if n0 > preb:
-                overflow = True
-        cur = preb if preb is not None else R
-        rounds = []
-        total_iters = 0
-        for i, (iters, bucket) in enumerate(entries):
-            n = int(counts_h[k + i])
-            rounds.append({"bucket": int(cur), "iters": int(iters),
-                           "n_active": n, "seconds": 0.0, "planned": True})
-            total_iters += iters
-            if bucket is not None and n > bucket:
-                overflow = True
-            if bucket is not None and bucket < cur:
-                cur = bucket
-        if overflow or int(counts_h[-1]) != 0:
+        bad, rounds, pre, total_iters = self._counts_verdict(
+            counts_h, preb, entries, R
+        )
+        if bad:
             # plan no longer fits this frame (or left live stragglers the
             # fused program cannot extend): retrace adaptively, bit-exact
             self._plans.pop(plan_key, None)
@@ -1998,11 +2144,20 @@ class BitGridRenderer:
         from voxelhex_tpu.render.camera import device_rays
 
         w, h = camera.resolution
-        o, dv = device_rays(camera)  # rays never leave the device
         bgc = jnp.asarray(bg, dtype=F32)
         levels = self.prepass_levels if self.prepass else 0
         while levels and (h % (2**levels) or w % (2**levels)):
             levels -= 1
+
+        if compact and levels == 0 and not splat_prepass:
+            # steady state: the WHOLE frame (raygen, beam, trace, shade,
+            # u8) as one dispatch from ~60 B of camera params
+            rgb = self._try_render_fused(camera, bgc, beam_prepass, out_u8)
+            if rgb is not None:
+                rgb = rgb.reshape(h, w, 3)
+                return rgb if out_device else np.asarray(rgb)
+
+        o, dv = device_rays(camera)  # rays never leave the device
 
         if not compact:
             if levels:

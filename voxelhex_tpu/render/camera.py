@@ -182,6 +182,47 @@ def orbit_camera(
 _raygen_cache: dict = {}
 
 
+def raygen_body(w: int, h: int):
+    """TRACEABLE ray generator: ``gen(origin, right, up, forward, scale) ->
+    (o [w*h,3], d [w*h,3])``.  Composable into larger jitted programs (the
+    fused frame program traces raygen in, so a frame costs ONE dispatch);
+    :func:`device_rays` jits it standalone."""
+    import jax.numpy as jnp
+
+    def gen(origin, right, up, forward, scale):
+        px = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+        py = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+        d = (
+            forward[None, None, :]
+            + px[None, :, None] * scale[0] * right[None, None, :]
+            + py[:, None, None] * scale[1] * up[None, None, :]
+        )
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = jnp.broadcast_to(origin, d.shape)
+        return o.reshape(-1, 3), d.reshape(-1, 3)
+
+    return gen
+
+
+def camera_params(camera: "Camera"):
+    """The ~60 bytes of host->device camera state raygen_body consumes."""
+    import jax.numpy as jnp
+
+    w, h = camera.resolution
+    forward, right, up = camera.basis()
+    tan_half = float(np.tan(np.radians(camera.fov_y_deg) / 2.0))
+    aspect = w / h
+    return (
+        jnp.asarray(np.asarray(camera.origin, dtype=np.float32)),
+        jnp.asarray(right.astype(np.float32)),
+        jnp.asarray(up.astype(np.float32)),
+        jnp.asarray(forward.astype(np.float32)),
+        jnp.asarray(
+            np.array([tan_half * aspect, tan_half], dtype=np.float32)
+        ),
+    )
+
+
 def device_rays(camera: "Camera"):
     """Generate the camera's rays ON DEVICE: ``(origins, dirs)`` as
     ``[(h*w), 3]`` f32 device arrays.
@@ -199,20 +240,7 @@ def device_rays(camera: "Camera"):
     w, h = camera.resolution
     fn = _raygen_cache.get((w, h))
     if fn is None:
-
-        def gen(origin, right, up, forward, scale):
-            px = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-            py = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
-            d = (
-                forward[None, None, :]
-                + px[None, :, None] * scale[0] * right[None, None, :]
-                + py[:, None, None] * scale[1] * up[None, None, :]
-            )
-            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            o = jnp.broadcast_to(origin, d.shape)
-            return o.reshape(-1, 3), d.reshape(-1, 3)
-
-        fn = jax.jit(gen)
+        fn = jax.jit(raygen_body(w, h))
         _raygen_cache[(w, h)] = fn
 
     import jax.numpy as jnp
