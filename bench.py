@@ -102,7 +102,9 @@ def main():
     # first-use costs beyond compilation)
     # uint8 device-side output (the reference's rgba8 texture convention);
     # the f32->u8 cast on device cuts the tunnel transfer 4x
-    for _ in range(2):
+    # 3 frames: adaptive record -> non-fused replay (stability gate) ->
+    # whole-frame fused compile, so timed frames hit the fused path
+    for _ in range(3):
         np.asarray(renderer.render(cam, out_u8=True))
 
     # In-session auto-select: beam prepass + planned round-0 compaction
@@ -112,7 +114,7 @@ def main():
     # measure both briefly and run the headline batches with the winner.
     mode_kw = {}
     if renderer.beam_start(cam) is not None:
-        for _ in range(2):  # warm beam shapes + record the plan
+        for _ in range(3):  # warm beam shapes + stabilize + fuse the plan
             np.asarray(renderer.render(cam, beam_prepass=True, out_u8=True))
 
         def _t(kw):

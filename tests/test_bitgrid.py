@@ -472,14 +472,18 @@ def test_fused_plan_single_dispatch_frames():
     cam = orbit_camera(64.0, distance_factor=3.0, resolution=(320, 240))
     plain = r.render(cam, out_u8=True)
     f1 = rf.render(cam, out_u8=True)  # adaptive (no plan yet) — records
-    f2 = rf.render(cam, out_u8=True)  # fused replay
+    f2 = rf.render(cam, out_u8=True)  # non-fused replay (stability gate)
+    assert rf.last_stats["planned"] and not rf.last_stats.get("fused")
+    f3 = rf.render(cam, out_u8=True)  # plan stable -> fused
     assert rf.last_stats.get("fused")
     # the steady-state frame was ONE dispatch including raygen + u8
     assert rf.last_stats.get("frame_fused")
     np.testing.assert_array_equal(f1, plain)
     np.testing.assert_array_equal(f2, plain)
+    np.testing.assert_array_equal(f3, plain)
     b1 = rf.render(cam, beam_prepass=True, out_u8=True)  # records beam plan
-    b2 = rf.render(cam, beam_prepass=True, out_u8=True)  # fused, with pre
+    b2 = rf.render(cam, beam_prepass=True, out_u8=True)  # replay, streak 1
+    b3 = rf.render(cam, beam_prepass=True, out_u8=True)  # fused, with pre
     assert rf.last_stats.get("fused")
     # the beam prepass was traced INTO the one-dispatch frame program —
     # not run as a separate beam_start dispatch (VERDICT r2 next #1)
@@ -487,6 +491,7 @@ def test_fused_plan_single_dispatch_frames():
     assert rf.last_stats["pre"] is not None
     np.testing.assert_array_equal(b1, plain)
     np.testing.assert_array_equal(b2, plain)
+    np.testing.assert_array_equal(b3, plain)
     # a different camera invalidates nothing structurally — the fused
     # program either replays fine or overflow-retraces adaptively
     cam2 = orbit_camera(64.0, distance_factor=2.0, resolution=(320, 240))

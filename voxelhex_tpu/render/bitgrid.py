@@ -1040,6 +1040,13 @@ class BitGridRenderer:
         if fuse_plan:
             self.auto_plan = True
         self._plans = {}
+        # consecutive identical recordings per plan key: the fused paths
+        # compile one program PER plan signature (minutes through the
+        # remote tunnel), so they only engage once a plan has proven
+        # stable — plan-churning workloads (moving cameras over changing
+        # windows) stay on the non-fused planned replay instead of
+        # compile-stalling every frame
+        self._plan_streak = {}
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
         self.bitgrid = bg
         # tracer="skip": the fused-hierarchy tracer (one row fetch serves
@@ -1727,6 +1734,26 @@ class BitGridRenderer:
         self._fused_fns[key] = fn
         return fn
 
+    @staticmethod
+    def _plan_sig(plan):
+        if plan is None:
+            return None
+        if isinstance(plan, dict):
+            return (tuple(plan.get("rounds") or ()), plan.get("pre"),
+                    plan.get("complete", True))
+        return (tuple(plan), None, True)
+
+    def _record_plan(self, plan_key, plan):
+        """Store a plan and track how many consecutive frames recorded the
+        IDENTICAL one (the fused paths' stability gate)."""
+        if self._plan_sig(self._plans.get(plan_key)) == self._plan_sig(plan):
+            self._plan_streak[plan_key] = (
+                self._plan_streak.get(plan_key, 0) + 1
+            )
+        else:
+            self._plan_streak[plan_key] = 0
+        self._plans[plan_key] = plan
+
     def _counts_verdict(self, counts_h, preb, entries, R):
         """Shared overflow/stat bookkeeping for fused frames: returns
         (bad, rounds, pre, total_iters) from the batched counts read.
@@ -1793,9 +1820,14 @@ class BitGridRenderer:
         )
         preb = (int(plan["pre"])
                 if (plan.get("pre") and has_start) else None)
+        beam_key = spec["key"] if spec is not None else None
+        fkey = (R, preb, entries, has_start, beam_key, (w, h), bool(out_u8))
+        if (fkey not in self._fused_fns
+                and self._plan_streak.get(plan_key, 0) < 1):
+            return None  # plan not stable yet: don't compile a program
         fn = self._fused_plan_fn(
             R, preb, entries, has_start,
-            beam_key=(spec["key"] if spec is not None else None),
+            beam_key=beam_key,
             cam=(w, h), u8=bool(out_u8),
         )
         params = camera_params(camera)
@@ -1822,7 +1854,7 @@ class BitGridRenderer:
             "beam_fused": spec is not None,
             "pre": pre,
         }
-        self._plans[plan_key] = plan_from_rounds(rounds, pre=pre)
+        self._record_plan(plan_key, plan_from_rounds(rounds, pre=pre))
         return rgb
 
     def _trace_fused(self, origins, directions, o, dv, st, plan_pre,
@@ -1884,9 +1916,9 @@ class BitGridRenderer:
             "beam_fused": beam is not None,
             "pre": pre,
         }
-        self._plans[plan_key] = plan_from_rounds(
+        self._record_plan(plan_key, plan_from_rounds(
             rounds, shrink=shrink, min_bucket=min_bucket, pre=pre
-        )
+        ))
         return hit, voxel, hvox, hpoint, hnormal, rgb
 
     def trace_compacted(
@@ -1937,12 +1969,23 @@ class BitGridRenderer:
 
         if (plan_rounds and plan_complete and self.fuse_plan
                 and shade_bg is not None):
-            # whole planned frame as ONE dispatch (init fused in too)
-            return self._trace_fused(
-                origins, directions, o, dv, st, plan_pre, plan_rounds,
-                shade_bg, plan_key, start_t, round_iters, shrink,
-                min_bucket, first_round_iters, beam=beam,
+            entries_t = tuple(
+                (int(i), (int(b) if b is not None else None))
+                for i, b in plan_rounds
             )
+            preb_t = int(plan_pre) if (plan_pre and has_start) else None
+            beam_key_t = beam["key"] if beam is not None else None
+            fkey = (R, preb_t, entries_t, has_start, beam_key_t, None, False)
+            if (fkey in self._fused_fns
+                    or self._plan_streak.get(plan_key, 0) >= 1):
+                # whole planned frame as ONE dispatch (init fused in too)
+                return self._trace_fused(
+                    origins, directions, o, dv, st, plan_pre, plan_rounds,
+                    shade_bg, plan_key, start_t, round_iters, shrink,
+                    min_bucket, first_round_iters, beam=beam,
+                )
+            # plan seen only once: replay it NON-fused (no new compiles)
+            # until it proves stable
         if st is None and beam is not None:
             # not fusing this frame: the beam prepass runs as its own
             # dispatch, exactly like beam_start()
@@ -2122,9 +2165,9 @@ class BitGridRenderer:
             "pre": pre,  # round-0 compaction (beam dead-tile drop), or None
         }
         # remember a schedule for the next same-shaped frame (auto_plan)
-        self._plans[plan_key] = plan_from_rounds(
+        self._record_plan(plan_key, plan_from_rounds(
             rounds, shrink=shrink, min_bucket=min_bucket, pre=pre
-        )
+        ))
         if shade_bg is not None:
             # fused color + shade: one dispatch for the whole finish
             voxel, rgb = fns["finish"](self.tree, hit, hvox, hnormal, shade_bg)
