@@ -239,6 +239,26 @@ def _pack_bits(grid_xyz):
     return lo, hi, coarse
 
 
+def _pack_bits_batch(occs):
+    """Vectorized :func:`_pack_bits` over K same-size grids: bool
+    [K, c, c, c] (x, y, z) -> (lo, hi) u32 [K, (c/4)^3] flat block arrays
+    (x-fastest, bit s = cx + 4*cy + 16*cz — identical per-grid layout).
+    One call packs a whole region batch; the per-region loop cost
+    (~1.3 ms/region of numpy call overhead, the fly-over paging
+    bottleneck) collapses into one vector pass."""
+    K, c = occs.shape[0], occs.shape[1]
+    n = c // 4
+    g = occs.reshape(K, n, 4, n, 4, n, 4)  # [K, bx, x, by, y, bz, z]
+    g = g.transpose(0, 1, 3, 5, 6, 4, 2)  # [K, bx, by, bz, z, y, x]
+    bits = g.reshape(K, n, n, n, 64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    words = (bits.astype(np.uint64) * weights).sum(axis=-1, dtype=np.uint64)
+    flat = words.transpose(0, 3, 2, 1).reshape(K, -1)  # x fastest
+    lo = (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (flat >> np.uint64(32)).astype(np.uint32)
+    return lo, hi
+
+
 def build_bitgrid(source) -> BitGrid:
     """Build the dense pyramid from a BoxTree or FlatTree.
 

@@ -896,17 +896,50 @@ class StreamingView:
         p0 = self._roll_fn(p0, s // 4, jnp.asarray(0, p0.dtype))
         pairs = pairs.at[: nb**3].set(p0.reshape(-1, 2))
 
-        # host mirrors from the shifted window, coarse levels re-uploaded
-        # (a few tens of KB)
-        levels_lo, levels_hi, _bases = _pack_pyramid(self._occ)
+        # host mirrors: ROLL the level-0 words (the shift is REGION-aligned
+        # so whole 4^3 blocks move) instead of re-packing the whole window
+        # pyramid from the dense bool grid — at 256^3 that pack cost
+        # ~5.5 s/move of pure host numpy and was the fly-over paging
+        # bottleneck; the roll + coarse re-derivation costs milliseconds
+        sb = np.asarray(shift, dtype=np.int64) // 4
+        nb3 = nb**3
+        lo0 = bg.occ_lo[:nb3].reshape(nb, nb, nb).copy()  # [z, y, x]
+        hi0 = bg.occ_hi[:nb3].reshape(nb, nb, nb).copy()
+
+        def np_roll_zero(g, s):
+            g = np.roll(g, shift=(-int(s[2]), -int(s[1]), -int(s[0])),
+                        axis=(0, 1, 2))
+            for ax, sh in ((0, int(s[2])), (1, int(s[1])), (2, int(s[0]))):
+                idx = np.arange(g.shape[ax])
+                keep = (idx < g.shape[ax] - sh) if sh >= 0 else (idx >= -sh)
+                shp = [1, 1, 1]
+                shp[ax] = -1
+                g = np.where(keep.reshape(shp), g, 0)
+            return g
+
+        lo0 = np_roll_zero(lo0, sb)
+        hi0 = np_roll_zero(hi0, sb)
+        # coarse host levels re-derived from the (small) level-0 coarse map
+        coarse0 = ((lo0 | hi0) != 0).transpose(2, 1, 0)  # [x, y, z]
+        levels_lo = [lo0.ravel()]
+        levels_hi = [hi0.ravel()]
+        grid = coarse0
+        while grid.shape[0] > 1:
+            llo, lhi, grid = _pack_bits(grid)
+            levels_lo.append(llo)
+            levels_hi.append(lhi)
         bg.occ_lo = np.concatenate(levels_lo)
         bg.occ_hi = np.concatenate(levels_hi)
         bg.colors = self._col.transpose(2, 1, 0).ravel()
-        base1 = nb**3
-        coarse_pairs = np.stack(
-            [bg.occ_lo[base1:], bg.occ_hi[base1:]], axis=1
-        ).astype(np.uint32)
-        pairs = pairs.at[base1:].set(jnp.asarray(coarse_pairs))
+        # device coarse levels: reduced from the rolled level-0 pairs ON
+        # DEVICE (same path the delta updates use) — no host upload at all
+        if getattr(self, "_scatter_fns", None) is None or \
+                getattr(self, "_scatter_S", None) != S:
+            self._scatter_fns = (_make_region_scatter(S),
+                                 _make_coarse_rebuild(S))
+            self._scatter_S = S
+        _scatter, coarse_rebuild = self._scatter_fns
+        pairs = coarse_rebuild(pairs)
         tree_dev["occ_pairs"] = pairs
         self._refresh_quads(tree_dev)
 
@@ -1024,31 +1057,36 @@ class StreamingView:
             target *= 2
         regions = list(regions) + [regions[0]] * (target - len(regions))
 
-        corners = np.zeros((len(regions), 3), dtype=np.int32)
-        col_rows = np.zeros((len(regions), REGION**3), dtype=np.uint16)
-        blk_rows = np.zeros((len(regions), n**3, 2), dtype=np.uint32)
-        for i, region in enumerate(regions):
-            x0, y0, z0 = (int(c) * REGION for c in region)
-            corners[i] = (x0, y0, z0)
-            sub_occ = self._occ[x0 : x0 + REGION, y0 : y0 + REGION, z0 : z0 + REGION]
-            sub_col = self._col[x0 : x0 + REGION, y0 : y0 + REGION, z0 : z0 + REGION]
-            col_rows[i] = sub_col.ravel()
-            lo, hi, _coarse = _pack_bits(sub_occ)
-            blk_rows[i, :, 0] = lo
-            blk_rows[i, :, 1] = hi
-            # host mirrors (numpy only — never transferred)
-            bx = np.arange(x0 // 4, x0 // 4 + n)
-            by = np.arange(y0 // 4, y0 // 4 + n)
-            bz = np.arange(z0 // 4, z0 // 4 + n)
-            ab = bx[:, None, None] + by[None, :, None] * nb + bz[None, None, :] * nb * nb
-            # _pack_bits flattens x-fastest: order (bz, by, bx) -> transpose
-            bg.occ_lo[ab.transpose(2, 1, 0).ravel()] = lo
-            bg.occ_hi[ab.transpose(2, 1, 0).ravel()] = hi
-            xs = np.arange(x0, x0 + REGION)
-            ys = np.arange(y0, y0 + REGION)
-            zs = np.arange(z0, z0 + REGION)
-            ax = xs[:, None, None] + ys[None, :, None] * S + zs[None, None, :] * S * S
-            bg.colors[ax.ravel()] = col_rows[i]
+        # BATCHED packing + mirror writes: one vectorized pass over the
+        # whole region batch instead of per-region numpy calls (the old
+        # loop cost ~1.3 ms/region of call overhead — at fly-over paging
+        # rates, seconds per frame)
+        from voxelhex_tpu.render.bitgrid import _pack_bits_batch
+
+        K = len(regions)
+        corners = (np.asarray(regions, dtype=np.int32) * REGION)
+        x0s, y0s, z0s = corners[:, 0], corners[:, 1], corners[:, 2]
+        r = np.arange(REGION)
+        # gather all sub-grids: [K, R, R, R]
+        xi = x0s[:, None, None, None] + r[None, :, None, None]
+        yi = y0s[:, None, None, None] + r[None, None, :, None]
+        zi = z0s[:, None, None, None] + r[None, None, None, :]
+        sub_occ = self._occ[xi, yi, zi]
+        col_rows = self._col[xi, yi, zi].reshape(K, REGION**3)
+        lo, hi = _pack_bits_batch(sub_occ)
+        blk_rows = np.stack([lo, hi], axis=-1)
+        # host mirrors (numpy only — never transferred)
+        b = np.arange(n)
+        bxa = x0s[:, None, None, None] // 4 + b[None, :, None, None]
+        bya = y0s[:, None, None, None] // 4 + b[None, None, :, None]
+        bza = z0s[:, None, None, None] // 4 + b[None, None, None, :]
+        ab = bxa + bya * nb + bza * nb * nb  # [K, bx, by, bz]
+        # _pack_bits flattens x-fastest: order (bz, by, bx) -> transpose
+        abf = ab.transpose(0, 3, 2, 1).reshape(K, -1)
+        bg.occ_lo[abf.ravel()] = lo.ravel()
+        bg.occ_hi[abf.ravel()] = hi.ravel()
+        axv = (xi + yi * S + zi * S * S).reshape(K, -1)
+        bg.colors[axv.ravel()] = col_rows.ravel()
 
         # rebuild the coarse host mirror levels from the level-0 coarse map
         n0 = nb
