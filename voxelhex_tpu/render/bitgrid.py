@@ -1067,6 +1067,11 @@ class BitGridRenderer:
         # windows) stay on the non-fused planned replay instead of
         # compile-stalling every frame
         self._plan_streak = {}
+        # cap on DISTINCT fused programs compiled per renderer: each costs
+        # minutes through the remote-compile tunnel, and a plan-churning
+        # workload (flight over a changing window) can generate unbounded
+        # signatures — steady workloads need only a few
+        self.fuse_compile_cap = 8
         bg = source if isinstance(source, BitGrid) else build_bitgrid(source)
         self.bitgrid = bg
         # tracer="skip": the fused-hierarchy tracer (one row fetch serves
@@ -1842,9 +1847,10 @@ class BitGridRenderer:
                 if (plan.get("pre") and has_start) else None)
         beam_key = spec["key"] if spec is not None else None
         fkey = (R, preb, entries, has_start, beam_key, (w, h), bool(out_u8))
-        if (fkey not in self._fused_fns
-                and self._plan_streak.get(plan_key, 0) < 1):
-            return None  # plan not stable yet: don't compile a program
+        if fkey not in self._fused_fns and (
+                self._plan_streak.get(plan_key, 0) < 1
+                or len(self._fused_fns) >= self.fuse_compile_cap):
+            return None  # plan not stable yet (or compile budget spent)
         fn = self._fused_plan_fn(
             R, preb, entries, has_start,
             beam_key=beam_key,
@@ -1996,8 +2002,9 @@ class BitGridRenderer:
             preb_t = int(plan_pre) if (plan_pre and has_start) else None
             beam_key_t = beam["key"] if beam is not None else None
             fkey = (R, preb_t, entries_t, has_start, beam_key_t, None, False)
-            if (fkey in self._fused_fns
-                    or self._plan_streak.get(plan_key, 0) >= 1):
+            if fkey in self._fused_fns or (
+                    self._plan_streak.get(plan_key, 0) >= 1
+                    and len(self._fused_fns) < self.fuse_compile_cap):
                 # whole planned frame as ONE dispatch (init fused in too)
                 return self._trace_fused(
                     origins, directions, o, dv, st, plan_pre, plan_rounds,
