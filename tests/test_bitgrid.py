@@ -503,6 +503,22 @@ def test_fused_plan_single_dispatch_frames():
     )
 
 
+def test_fuse_compile_cap_blocks_new_programs():
+    """fuse_compile_cap=0: stable plans must stay on the non-fused planned
+    replay (no fused programs compiled — the plan-churn protection), with
+    results identical to plain rendering."""
+    tree = make_scene(64, 4, seed=3)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    rf.fuse_compile_cap = 0
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    plain = r.render(cam, out_u8=True)
+    for _ in range(3):
+        np.testing.assert_array_equal(rf.render(cam, out_u8=True), plain)
+    assert not rf._fused_fns  # budget 0: nothing compiled
+    assert rf.last_stats["planned"] and not rf.last_stats.get("fused")
+
+
 def test_beam_planned_pre_overflow_retraces():
     """A planned pre bucket too small for the frame's live rays must be
     detected by the batched count read and retraced adaptively."""
