@@ -519,6 +519,49 @@ def test_fuse_compile_cap_blocks_new_programs():
     assert rf.last_stats["planned"] and not rf.last_stats.get("fused")
 
 
+def test_pipeline_deferred_validation_exact():
+    """FramePipeline defers the fused path's counts read to its fetch
+    worker; delivered frames must equal the direct render exactly — and
+    when a plan overflows, resolve() must re-render before delivery."""
+    from voxelhex_tpu.render.pipeline import FramePipeline
+
+    tree = make_scene(64, 4, seed=5)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    plain = r.render(cam, out_u8=True)
+    pipe = FramePipeline(rf)
+    futs = [pipe.render(cam, out_u8=True) for _ in range(4)]
+    frames = [f.result() for f in futs]
+    pipe.drain()
+    for f in frames:
+        np.testing.assert_array_equal(f, plain)
+    pipe.close()
+
+    # explicit deferred mode (opt-in — the pipeline default stays
+    # blocking, PERF.md "Deferred counts"): resolve() validates before
+    # delivery and stays exact
+    d = rf.render(cam, out_u8=True, out_device=True, defer_validation=True)
+    assert isinstance(d, rf.DeferredFrame) and rf.last_stats.get("deferred")
+    np.testing.assert_array_equal(d.resolve(fetch=True), plain)
+
+    # overflow: poison the recorded plan with an impossible bucket — the
+    # deferred resolve must detect it and deliver a re-rendered frame
+    R = 160 * 120
+    key = (R, False, 14, None)
+    assert key in rf._plans
+    good = rf._plans[key]
+    rounds = good["rounds"] if isinstance(good, dict) else list(good)
+    bad_rounds = [(rounds[0][0], 8)] + [(56, None)]
+    poison = {"pre": None, "rounds": bad_rounds, "complete": True}
+    rf._plans[key] = poison
+    rf._plan_streak[key] = 5
+    d = rf.render(cam, out_u8=True, out_device=True, defer_validation=True)
+    assert isinstance(d, rf.DeferredFrame)
+    np.testing.assert_array_equal(d.resolve(fetch=True), plain)
+    assert rf._plans.get(key) != poison  # poisoned plan dropped by resolve
+
+
 def test_beam_planned_pre_overflow_retraces():
     """A planned pre bucket too small for the frame's live rays must be
     detected by the batched count read and retraced adaptively."""

@@ -1067,6 +1067,11 @@ class BitGridRenderer:
         # windows) stay on the non-fused planned replay instead of
         # compile-stalling every frame
         self._plan_streak = {}
+        import threading as _threading
+
+        # serializes render() against the pipeline worker's rare deferred
+        # re-render (DeferredFrame.resolve); uncontended otherwise
+        self._render_lock = _threading.RLock()
         # cap on DISTINCT fused programs compiled per renderer: each costs
         # minutes through the remote-compile tunnel, and a plan-churning
         # workload (flight over a changing window) can generate unbounded
@@ -1759,6 +1764,50 @@ class BitGridRenderer:
         self._fused_fns[key] = fn
         return fn
 
+    class DeferredFrame:
+        """A fused frame whose plan-validity check (the batched counts
+        read — one tunnel round-trip) is DEFERRED off the render critical
+        path: the caller's fetch worker calls :meth:`resolve` before
+        consuming the pixels.  By then the counts have usually landed
+        (their transfer overlapped the next frame's device execution), so
+        the per-frame RTT disappears; on the rare overflow the frame
+        re-renders through the standard path under the renderer lock, so
+        DELIVERED frames are always exact."""
+
+        def __init__(self, renderer, rgb, counts, plan_key, preb, entries,
+                     R, camera, bg, beam_prepass, out_u8):
+            self.renderer = renderer
+            self.rgb = rgb
+            self._args = (counts, plan_key, preb, entries, R, camera, bg,
+                          beam_prepass, out_u8)
+
+        def resolve(self, fetch=False):
+            """Validate; returns the frame (device array, or fetched
+            ndarray with ``fetch=True`` — counts and pixels then move in
+            ONE host transfer, so validation costs no extra round-trip),
+            re-rendered if the plan overflowed."""
+            (counts, plan_key, preb, entries, R, camera, bg, beam_prepass,
+             out_u8) = self._args
+            r = self.renderer
+            with r._render_lock:
+                rgb_h = None
+                if fetch:
+                    counts_h, rgb_h = jax.device_get((counts, self.rgb))
+                else:
+                    counts_h = np.asarray(counts)
+                bad, rounds, pre, _total = r._counts_verdict(
+                    counts_h, preb, entries, R
+                )
+                w, h = camera.resolution
+                if not bad:
+                    r._record_plan(plan_key, plan_from_rounds(rounds, pre=pre))
+                    out = rgb_h if fetch else self.rgb
+                    return out.reshape(h, w, 3)
+                r._plans.pop(plan_key, None)
+                out = r.render(camera, bg=bg, out_u8=out_u8,
+                               out_device=True, beam_prepass=beam_prepass)
+                return np.asarray(out) if fetch else out
+
     @staticmethod
     def _plan_sig(plan):
         if plan is None:
@@ -1808,7 +1857,8 @@ class BitGridRenderer:
         bad = overflow or int(counts_h[-1]) != 0
         return bad, rounds, pre, total_iters
 
-    def _try_render_fused(self, camera, bgc, beam_prepass, out_u8):
+    def _try_render_fused(self, camera, bgc, beam_prepass, out_u8,
+                          bg=None, defer=False):
         """Steady-state WHOLE-FRAME-ONE-DISPATCH path: when a complete plan
         is already recorded for this frame shape, run raygen, beam
         prepass, init, round-0 compaction, every round, the compactions,
@@ -1862,6 +1912,19 @@ class BitGridRenderer:
         else:
             out = fn(self.tree, *params, bgc)
         rgb, counts = out[5], out[6]
+        if defer:
+            # counts validation moves to the consumer's fetch worker
+            # (DeferredFrame.resolve) — no blocking read on this thread
+            self.last_stats = {
+                "rays": int(R), "planned": True, "fused": True,
+                "frame_fused": True, "beam_fused": spec is not None,
+                "deferred": True,
+                "trace_seconds": round(_time.time() - t_start, 4),
+            }
+            return self.DeferredFrame(
+                self, rgb, counts, plan_key, preb, entries, R, camera, bg,
+                beam_prepass, out_u8,
+            )
         counts_h = np.asarray(counts)  # the frame's ONE blocking read
         bad, rounds, pre, total_iters = self._counts_verdict(
             counts_h, preb, entries, R
@@ -2204,7 +2267,19 @@ class BitGridRenderer:
 
     def render(self, camera, bg=(0.0, 0.0, 0.0), compact: bool = True,
                out_u8: bool = False, out_device: bool = False,
-               splat_prepass: bool = False, beam_prepass: bool = False):
+               splat_prepass: bool = False, beam_prepass: bool = False,
+               defer_validation: bool = False):
+        with self._render_lock:
+            return self._render_impl(
+                camera, bg=bg, compact=compact, out_u8=out_u8,
+                out_device=out_device, splat_prepass=splat_prepass,
+                beam_prepass=beam_prepass, defer_validation=defer_validation,
+            )
+
+    def _render_impl(self, camera, bg=(0.0, 0.0, 0.0), compact: bool = True,
+                     out_u8: bool = False, out_device: bool = False,
+                     splat_prepass: bool = False, beam_prepass: bool = False,
+                     defer_validation: bool = False):
         """Render a frame.  ``out_u8`` quantizes to uint8 ON DEVICE (the
         reference's rgba8 output-texture convention) — 4x less host
         transfer, which dominates remote-TPU frame time.  ``out_device``
@@ -2221,8 +2296,16 @@ class BitGridRenderer:
 
         if compact and levels == 0 and not splat_prepass:
             # steady state: the WHOLE frame (raygen, beam, trace, shade,
-            # u8) as one dispatch from ~60 B of camera params
-            rgb = self._try_render_fused(camera, bgc, beam_prepass, out_u8)
+            # u8) as one dispatch from ~60 B of camera params.  With
+            # ``defer_validation`` (FramePipeline), the plan-validity
+            # counts read moves to the consumer's fetch worker — this
+            # thread never blocks on the tunnel round-trip.
+            rgb = self._try_render_fused(
+                camera, bgc, beam_prepass, out_u8, bg=bg,
+                defer=(defer_validation and out_device),
+            )
+            if isinstance(rgb, self.DeferredFrame):
+                return rgb  # consumer resolves (out_device implied)
             if rgb is not None:
                 rgb = rgb.reshape(h, w, 3)
                 return rgb if out_device else np.asarray(rgb)

@@ -38,10 +38,24 @@ class FramePipeline:
         while len(self._in_flight) >= self._max_in_flight:
             self._in_flight.pop(0).result()
         kwargs["out_device"] = True
+        # NOTE: deferring the fused path's plan-validity counts read to
+        # the fetch worker (render(defer_validation=True) + the
+        # DeferredFrame resolve) measured NEUTRAL-to-NEGATIVE through the
+        # axon tunnel — the blocking read on this thread already overlaps
+        # the worker's previous-frame transfer, and moving it onto the
+        # single fetch thread serializes it behind the 6 MB frame
+        # (PERF.md "Deferred counts").  Kept opt-in on the renderer.
         dev = self.renderer.render(camera, **kwargs)
-        fut = self._pool.submit(np.asarray, dev)
+        fut = self._pool.submit(self._fetch, dev)
         self._in_flight.append(fut)
         return fut
+
+    @staticmethod
+    def _fetch(dev):
+        resolve = getattr(dev, "resolve", None)
+        if resolve is not None:
+            return resolve(fetch=True)  # counts + pixels: one transfer
+        return np.asarray(dev)
 
     def drain(self):
         """Wait for all outstanding fetches."""
