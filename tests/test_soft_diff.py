@@ -278,6 +278,46 @@ def test_grad_on_hits_matches_full_loss():
         )
 
 
+def test_grad_on_hits_planned_bucket_parity():
+    """The PLANNED backward (bucket reused from the last step, hit count
+    validated in-program) must return identical loss/grads to the
+    adaptive first call — and a poisoned (too-small) plan must fall back
+    exactly."""
+    tree = BoxTree(64, 4, auto_simplify=False)
+    rng = np.random.default_rng(8)
+    for _ in range(400):
+        p = tuple(int(v) for v in rng.integers(20, 44, 3))
+        tree.insert(p, RED if rng.random() < 0.5 else GREEN)
+    r = SoftRenderer(tree, max_hits=2)
+    n = 4096
+    targets = rng.random((n, 3)) * 64
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = (targets - dirs * 150).astype(np.float32)
+    count, voxels, _d = r.trace_hits(origins, dirs.astype(np.float32),
+                                     compact=False)
+    params = r.init_params()
+    target = np.asarray(rng.random((n, 3)), dtype=np.float32)
+
+    l1, g1 = r.grad_on_hits(params, count, voxels, target, min_bucket=64)
+    assert r._grad_plans.get(n) is not None  # plan recorded
+    l2, g2 = r.grad_on_hits(params, count, voxels, target, min_bucket=64)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_array_equal(np.asarray(g2[k]), np.asarray(g1[k]))
+
+    # poisoned plan: fewer slots than hits -> in-program count detects the
+    # overflow and the adaptive path recomputes, identical results
+    r._grad_plans[n] = 2
+    l3, g3 = r.grad_on_hits(params, count, voxels, target, min_bucket=64)
+    np.testing.assert_allclose(float(l3), float(l1), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g3[k]), np.asarray(g1[k]), atol=1e-7
+        )
+    assert r._grad_plans[n] != 2  # re-planned after the overflow
+
+
 def test_candidate_dilation_grows_missing_voxel():
     """with_candidates lets gradients ADD geometry: fitting against a target
     that contains a voxel missing from the scene raises that voxel's opacity

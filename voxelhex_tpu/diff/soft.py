@@ -101,6 +101,7 @@ class SoftRenderer:
                                                    max_iters=max_iters))
         self._compact_renderer = None
         self._grad_fns = {}
+        self._grad_plans = {}  # R -> last ladder bucket (planned backward)
 
         K = self.max_hits
 
@@ -419,57 +420,88 @@ class SoftRenderer:
         voxels = jax.lax.stop_gradient(voxels)
         R = voxels.shape[0]
         mask = count > 0
+
+        # PLANNED bucket: repeat shapes (training loops) reuse the last
+        # step's ladder bucket and validate the hit count IN the program —
+        # the old path paid a blocking hit-count read (one tunnel RTT)
+        # BEFORE it could even dispatch the backward.  Overflow (more hits
+        # than the planned bucket would keep) falls back to the adaptive
+        # path below, bit-exact.
+        planned = self._grad_plans.get(R)
+        if planned is not None and planned < R:
+            fnp = self._grad_fns.get((R, planned, "planned"))
+            if fnp is None:
+                fnp = jax.jit(self._make_grad_fn(R, planned, with_count=True))
+                self._grad_fns[(R, planned, "planned")] = fnp
+            loss, grads, n_dev = fnp(params, mask, voxels, target)
+            if int(n_dev) <= planned:  # blocks AFTER the backward ran
+                return loss, grads
+            self._grad_plans.pop(R, None)  # overflow: recompute adaptively
+
         n = int(jnp.sum(mask))
         bucket = R
         while bucket // shrink >= max(n, min_bucket):
             bucket //= shrink
+        self._grad_plans[R] = bucket
         # keyed on (R, bucket): two ray counts can ladder to the same bucket
         # (or a bucket can equal a smaller call's R), and the plain-vs-
         # compacted branch below depends on BOTH
         fn = self._grad_fns.get((R, bucket))
         if fn is None:
-            composite = self.composite
-
-            if bucket >= R:
-
-                def f(params, mask, voxels, target):
-                    def loss_fn(p):
-                        rgb = composite(p, voxels)
-                        return jnp.mean((rgb - target) ** 2)
-
-                    return jax.value_and_grad(loss_fn)(params)
-
-            else:
-                b = bucket
-
-                def f(params, mask, voxels, target):
-                    Rf = mask.shape[0]
-                    pos = jnp.cumsum(mask.astype(I32)) - 1
-                    tgt = jnp.where(mask, pos, b)
-                    idx = (
-                        jnp.zeros(b, dtype=I32)
-                        .at[tgt]
-                        .set(jnp.arange(Rf, dtype=I32), mode="drop")
-                    )
-                    vb = voxels[idx]
-                    tb = target[idx]
-                    rowvalid = jnp.arange(b) < jnp.sum(mask)
-                    const = jnp.sum(
-                        jnp.where(mask[:, None], 0.0, target**2)
-                    )
-
-                    def loss_fn(p):
-                        rgb = composite(p, vb)
-                        se = jnp.where(
-                            rowvalid[:, None], (rgb - tb) ** 2, 0.0
-                        )
-                        return (jnp.sum(se) + const) / target.size
-
-                    return jax.value_and_grad(loss_fn)(params)
-
-            fn = jax.jit(f)
+            fn = jax.jit(self._make_grad_fn(R, bucket))
             self._grad_fns[(R, bucket)] = fn
         return fn(params, mask, voxels, target)
+
+    def _make_grad_fn(self, R, bucket, with_count: bool = False):
+        """value_and_grad of the hit-compacted loss at a fixed bucket;
+        ``with_count`` additionally returns the hit count so callers can
+        validate a PLANNED bucket without a pre-dispatch blocking read."""
+        composite = self.composite
+
+        if bucket >= R:
+
+            def f(params, mask, voxels, target):
+                def loss_fn(p):
+                    rgb = composite(p, voxels)
+                    return jnp.mean((rgb - target) ** 2)
+
+                out = jax.value_and_grad(loss_fn)(params)
+                if with_count:
+                    return out[0], out[1], jnp.sum(mask.astype(I32))
+                return out
+
+        else:
+            b = bucket
+
+            def f(params, mask, voxels, target):
+                Rf = mask.shape[0]
+                pos = jnp.cumsum(mask.astype(I32)) - 1
+                tgt = jnp.where(mask, pos, b)
+                idx = (
+                    jnp.zeros(b, dtype=I32)
+                    .at[tgt]
+                    .set(jnp.arange(Rf, dtype=I32), mode="drop")
+                )
+                vb = voxels[idx]
+                tb = target[idx]
+                rowvalid = jnp.arange(b) < jnp.sum(mask)
+                const = jnp.sum(
+                    jnp.where(mask[:, None], 0.0, target**2)
+                )
+
+                def loss_fn(p):
+                    rgb = composite(p, vb)
+                    se = jnp.where(
+                        rowvalid[:, None], (rgb - tb) ** 2, 0.0
+                    )
+                    return (jnp.sum(se) + const) / target.size
+
+                out = jax.value_and_grad(loss_fn)(params)
+                if with_count:
+                    return out[0], out[1], jnp.sum(mask.astype(I32))
+                return out
+
+        return f
 
     def composite(self, params, voxels, bg_color=None):
         """Differentiable transmittance compositing over recorded voxels."""
