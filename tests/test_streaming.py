@@ -299,6 +299,48 @@ def test_delta_upload_u16_fallback_large_palette():
     np.testing.assert_allclose(img_delta, img_full, atol=1e-6)
 
 
+def test_streaming_beam_prepass_bit_exact():
+    """StreamingView(beam_prepass=True): window frames stay bit-identical
+    to the plain view across window moves AND edits — the beam's dilated
+    occupancy grid must re-derive from the window's level-0 words after
+    every content change (invalidate_beam), never go stale."""
+    from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+    from voxelhex_tpu.render.camera import Camera
+
+    def make():
+        t = BoxTree(512, 8, auto_simplify=True)  # 512 = 8 * 4^3
+        t.insert_at_lod((16, 16, 16), 16, Albedo(200, 40, 40, 255))
+        t.insert_at_lod((300, 16, 300), 16, Albedo(40, 200, 40, 255))
+        return t
+
+    def cam_at(c):
+        return Camera(
+            origin=np.array([c - 20.0, 40.0, c - 20.0], dtype=np.float32),
+            target=np.array([c, 20.0, c], dtype=np.float32),
+            up=np.array([0.0, 1.0, 0.0], dtype=np.float32),
+            fov_y_deg=50.0,
+            resolution=(64, 48),
+        )
+
+    v1 = StreamingView(make(), view_size=64, regions_per_update=4096,
+                       far_field=False)
+    v2 = StreamingView(make(), view_size=64, regions_per_update=4096,
+                       far_field=False, beam_prepass=True)
+    for c in (24.0, 24.0, 300.0, 300.0):  # repeats + a window teleport
+        np.testing.assert_array_equal(
+            np.asarray(v1.render(cam_at(c), out_u8=True)),
+            np.asarray(v2.render(cam_at(c), out_u8=True)),
+        )
+    # an edit right in view: the beam grid must pick it up
+    for v in (v1, v2):
+        v.tree.insert_at_lod((296, 32, 296), 8, Albedo(40, 40, 250, 255))
+    f1 = np.asarray(v1.render(cam_at(300.0), out_u8=True))
+    f2 = np.asarray(v2.render(cam_at(300.0), out_u8=True))
+    np.testing.assert_array_equal(f1, f2)
+    # ...and the edit actually rendered (blue pixels appear)
+    assert (f1[..., 2] > f1[..., 0]).sum() > 0
+
+
 def test_streaming_fuse_plan_bit_exact():
     """StreamingView(fuse_plan=True): frames (window + far field) stay
     bit-identical to the adaptive view across repeats and edits — the

@@ -1424,6 +1424,15 @@ class BitGridRenderer:
             return None
         return L
 
+    def invalidate_beam(self):
+        """Drop the beam prepass's dilated-occupancy device grids after the
+        scene content changed (streaming window page-ins / rolls / edits).
+        The JITTED beam programs stay valid — they close only over the
+        grid's SHAPE constants and take the grid as an argument — so an
+        invalidation costs one small host reduce + upload at next use,
+        never a recompile."""
+        self._beam_cache.clear()
+
     def _beam_setup(self, L):
         """(device tree, tracer) over the 3^3-dilated level-L cell grid with
         a 1-cell border ring (world position x maps to beam coord x/cell+1)."""

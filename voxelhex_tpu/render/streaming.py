@@ -503,6 +503,7 @@ class StreamingView:
         far_field: bool = True,
         tracer: str = "stack",
         fuse_plan: bool = False,
+        beam_prepass: bool = False,
     ):
         assert view_size % REGION == 0
         self.tree = tree
@@ -517,6 +518,11 @@ class StreamingView:
         # when the world is actually bigger than the window.
         self.far: FarField | None = None
         self._want_far = bool(far_field) and int(tree.size) > int(view_size)
+        # beam prepass over the WINDOW trace: terrain-style windows are
+        # sky-heavy, so proving tiles dead pre-round-1 cuts the window
+        # march; the beam's dilated grid re-derives from the window's
+        # level-0 words after every content change (invalidate_beam)
+        self.beam_prepass = bool(beam_prepass)
         self.far_first_iters = 6  # far-trace round-1 length (filtered rays
         # — those that already hit in the window — die in ~2 iterations)
         self.view_size = int(view_size)
@@ -942,6 +948,7 @@ class StreamingView:
         pairs = coarse_rebuild(pairs)
         tree_dev["occ_pairs"] = pairs
         self._refresh_quads(tree_dev)
+        self.renderer.invalidate_beam()
 
     def _flat_snapshot(self):
         """Cached flat snapshot of the host tree for fast window walks."""
@@ -1141,6 +1148,7 @@ class StreamingView:
         tree_dev["occ_pairs"] = occ_pairs
         self._refresh_quads(tree_dev)
         tree_dev["colors"] = colors_d
+        self.renderer.invalidate_beam()
 
     def _refresh_quads(self, tree_dev):
         """Re-derive the tracer's quad rows (pair + parent pair) on device
@@ -1201,6 +1209,7 @@ class StreamingView:
             self.renderer.tree = device_bitgrid(
                 bg, skip_rows=(self.tracer_kind == "skip")
             )
+            self.renderer.invalidate_beam()
 
     # ------------------------------------------------------------------
 
@@ -1229,7 +1238,8 @@ class StreamingView:
             self.far.refresh()
             return self._render_far(camera, cam_local, bg, out_u8, out_device)
         return self.renderer.render(cam_local, bg=bg, out_u8=out_u8,
-                                    out_device=out_device)
+                                    out_device=out_device,
+                                    beam_prepass=self.beam_prepass)
 
     def _render_far(self, camera, cam_local, bg, out_u8, out_device):
         """Fine window trace + one coarse trace per LOD ring, composited by
@@ -1246,8 +1256,12 @@ class StreamingView:
         w, h = camera.resolution
         bgc = jnp.asarray(bg, dtype=jnp.float32)
         o, dv = device_rays(cam_local)
+        wspec = (self.renderer._beam_spec(cam_local)
+                 if self.beam_prepass else None)
         hit, _v, _hv, hpoint, _hn, rgb = self.renderer.trace_compacted(
-            o, dv, shade_bg=bgc
+            o, dv, shade_bg=bgc, beam=wspec,
+            first_round_iters=(self.renderer.beam_first_iters
+                               if wspec is not None else None),
         )
         dist = _hit_dist(hit, hpoint, o, jnp.float32(1.0))
 
