@@ -1506,11 +1506,14 @@ class BitGridRenderer:
             self._beam_fns[key] = jax.jit(self._beam_body(L, th, tw, tile))
         return self._beam_fns[key]
 
-    def _beam_spec(self, camera, tile: int | None = None):
+    def _beam_spec(self, camera, tile: int | None = None,
+                   with_rays: bool = True):
         """Everything a frame needs to run the beam prepass — either as its
         own dispatch (:meth:`beam_start`) or traced into the fused frame
         program.  None when the camera/scene geometry can't satisfy the
-        conservative bound."""
+        conservative bound.  ``with_rays=False`` skips generating the beam
+        rays (a device dispatch) — the whole-frame fused program derives
+        them in-program from the camera params."""
         from voxelhex_tpu.render.camera import Camera, device_rays
 
         tile = tile or self.beam_tile
@@ -1521,20 +1524,20 @@ class BitGridRenderer:
         if L is None:
             return None
         tree_b, _ = self._beam_setup(L)
-        cam_b = Camera(
-            origin=camera.origin,
-            target=camera.target,
-            up=camera.up,
-            fov_y_deg=camera.fov_y_deg,
-            resolution=(w // tile, h // tile),
-        )
-        o_b, d_b = device_rays(cam_b)
-        return {
+        spec = {
             "key": (L, h // tile, w // tile, tile),
             "tree_b": tree_b,
-            "o_b": o_b,
-            "d_b": d_b,
         }
+        if with_rays:
+            cam_b = Camera(
+                origin=camera.origin,
+                target=camera.target,
+                up=camera.up,
+                fov_y_deg=camera.fov_y_deg,
+                resolution=(w // tile, h // tile),
+            )
+            spec["o_b"], spec["d_b"] = device_rays(cam_b)
+        return spec
 
     def beam_start(self, camera, tile: int | None = None):
         """Per-ray conservative start distances [h*w] from the beam prepass,
@@ -1881,7 +1884,8 @@ class BitGridRenderer:
             return None
         w, h = camera.resolution
         R = w * h
-        spec = self._beam_spec(camera) if beam_prepass else None
+        spec = (self._beam_spec(camera, with_rays=False)
+                if beam_prepass else None)
         has_start = spec is not None
         first_iters = self.beam_first_iters if has_start else None
         plan_key = (R, has_start, 14, first_iters)

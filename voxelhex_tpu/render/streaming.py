@@ -243,7 +243,8 @@ class FarTier:
         o = (o // a) * a
         self.origin = np.clip(o, 0, W - self.extent).astype(np.int64)
         # a re-anchor that still cannot contain the hole is impossible by
-        # construction (extent = 16x the inner box)
+        # construction (each ring is >= 4x its inner box, with C/4 cells
+        # of centering slack after alignment snapping)
         self._build_pristine()
         self._hole = None
         return True
