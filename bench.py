@@ -153,7 +153,7 @@ def main():
     if profile_dir:
         with jax.profiler.trace(profile_dir):
             best = timed_batch()
-    for _ in range(3):
+    for _ in range(5):  # tunnel sessions swing 2x within minutes
         best = min(best, timed_batch())
 
     rays = RES[0] * RES[1]

@@ -33,7 +33,6 @@ from voxelhex_tpu.render.bitgrid import (
     BitGridRenderer,
     _pack_bits,
     _pack_pyramid,
-    build_bitgrid,
 )
 from voxelhex_tpu.tree.boxtree import BoxTree
 
