@@ -281,12 +281,15 @@ class SoftRenderer:
         entries = []
         while True:
             cur = state[0].shape[0]
-            # the first round is the whole frame's march even when a
-            # round-0 compaction already shrank the buffer: keep the short
-            # round/compact cadence there (same rule as trace_compacted)
-            iters = (round_iters if (cur >= R or total_iters == 0)
-                     else 4 * round_iters)
-            iters = min(iters, budget - total_iters)
+            # SHORT rounds throughout: multi-hit live counts collapse far
+            # faster than single-hit stragglers (hit rays reactivate and
+            # die within a round or two — measured 330k -> 51k -> 3.5k ->
+            # 247 per 14 iters on the bench scene), so the render path's
+            # 4x amortizing rounds overshoot by ~2.5x ray-iters here.
+            # Fused replays batch every round's count into one read, so
+            # the extra rounds cost nothing in steady state; only the
+            # first (adaptive, plan-recording) frame pays per-round reads.
+            iters = min(round_iters, budget - total_iters)
             state, _n = fns["run"](r.tree, state, iters)
             total_iters += iters
             voxels, dists, cursor, state, n_live_dev = self._hit_step(
