@@ -512,6 +512,13 @@ class SoftRenderer:
         valid = voxels[:, :, 0] >= 0  # [R, K]
         v = jnp.clip(voxels, 0, S - 1)
         addr = v[:, :, 0] + v[:, :, 1] * S + v[:, :, 2] * S * S
+        # NOTE on the backward scatter (xprof, PERF.md "soft backward
+        # scatter layout"): the [N,3] row scatter-add this gather's VJP
+        # produces costs ~86 ms/step — 9x the per-element rate of the
+        # flat logits scatter.  A flat per-component gather was tried and
+        # measured WORSE overall (+42 ms: the forward becomes 3.1M scalar
+        # gathers and XLA inserts ~51 ms of layout copies), so the row
+        # gather stays.
         alb = params["albedo"][addr]  # [R, K, 3]
         alpha = jax.nn.sigmoid(params["logits"][addr])  # [R, K]
         alpha = jnp.where(valid, alpha, 0.0)
