@@ -427,3 +427,55 @@ def test_train_state_roundtrip_and_validation(tmp_path):
     with pytest.raises(ValueError):
         load_train_state(p, {"albedo": jnp.ones((4, 3)), "logits": jnp.zeros(5)},
                          opt_state)
+
+
+def test_flat_albedo_bwd_grad_parity():
+    """flat_albedo_bwd reroutes only the albedo gather's BACKWARD through a
+    flat 1-D scatter; loss and every gradient must be identical to the
+    default row-scatter VJP (it is the same math on a different layout)."""
+    tree = BoxTree(16, 4, auto_simplify=False)
+    for x in range(3, 9):
+        for y in range(3, 9):
+            tree.insert((x, y, 10), GREEN)
+    tree.insert((5, 5, 4), RED)
+
+    r_row = SoftRenderer(tree, max_hits=3, flat_albedo_bwd=False)
+    r_flat = SoftRenderer(tree, max_hits=3, flat_albedo_bwd=True)
+    params = r_row.init_params(init_opacity=0.7)
+
+    xs, ys = np.meshgrid(np.linspace(3.2, 8.8, 8), np.linspace(3.2, 8.8, 8))
+    o = np.stack(
+        [xs.ravel(), ys.ravel(), np.full(xs.size, -3.0)], axis=1
+    ).astype(np.float32)
+    d = np.tile(np.array([[0, 0, 1.0]], dtype=np.float32), (xs.size, 1))
+
+    count, voxels, _ = r_row.trace_hits(o, d)
+    voxels = jax.lax.stop_gradient(voxels)
+    target = jnp.zeros((o.shape[0], 3), dtype=jnp.float32)
+
+    def grads_of(r):
+        def loss_fn(p):
+            return r.loss(p, voxels, target)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss_row, g_row = grads_of(r_row)
+    loss_flat, g_flat = grads_of(r_flat)
+    assert np.allclose(float(loss_row), float(loss_flat), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(g_row["albedo"]), np.asarray(g_flat["albedo"]),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_row["logits"]), np.asarray(g_flat["logits"]),
+        rtol=0, atol=0,
+    )
+
+    # grad_on_hits (the bench/training entry point) must agree too
+    l1, gh_row = r_row.grad_on_hits(params, count, voxels, target)
+    l2, gh_flat = r_flat.grad_on_hits(params, count, voxels, target)
+    assert np.allclose(float(l1), float(l2), rtol=1e-7, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(gh_row["albedo"]), np.asarray(gh_flat["albedo"]),
+        rtol=1e-6, atol=1e-7,
+    )

@@ -37,6 +37,41 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
+@jax.custom_vjp
+def _gather_rows_flatbwd(albedo, addr):
+    """``albedo[addr]`` with a custom backward that scatters FLAT.
+
+    Forward is the unchanged [R, K] row gather from the [N, 3] albedo grid
+    (the fast layout — PERF.md "soft backward scatter layout").  The
+    default VJP of that gather is an [N, 3] ROW scatter-add, measured at a
+    9x per-element layout penalty vs a 1-D scatter (86 ms/step at 1080p).
+    This backward instead scatter-adds the cotangent through a flat
+    [N*3] buffer at indices ``addr*3 + component`` and reshapes once —
+    same values, 1-D scatter lowering.
+    """
+    return albedo[addr]
+
+
+def _gather_rows_flatbwd_fwd(albedo, addr):
+    return albedo[addr], (addr, albedo.shape[0])
+
+
+def _gather_rows_flatbwd_bwd(res, g):
+    addr, n = res
+    comp = jnp.arange(3, dtype=jnp.int32)
+    flat_idx = (addr[..., None] * 3 + comp).reshape(-1)
+    ga = (
+        jnp.zeros(n * 3, dtype=g.dtype)
+        .at[flat_idx]
+        .add(g.reshape(-1))
+        .reshape(n, 3)
+    )
+    return ga, None
+
+
+_gather_rows_flatbwd.defvjp(_gather_rows_flatbwd_fwd, _gather_rows_flatbwd_bwd)
+
+
 def make_multihit_tracer(bg: BitGrid, max_hits: int = 4, max_iters: int = 2048):
     """``trace(tree, o, d) -> (hit_count [R], voxels [R,K,3], ts [R,K])``.
 
@@ -89,10 +124,13 @@ class SoftRenderer:
     """Differentiable renderer over dense per-voxel (albedo, opacity) params."""
 
     def __init__(self, source, max_hits: int = 4, max_iters: int = 2048,
-                 tracer: str = "stack"):
+                 tracer: str = "stack", flat_albedo_bwd: bool = True):
         bg = source if isinstance(source, BitGrid) else bgmod.build_bitgrid(source)
         self.bitgrid = bg
         self.tracer_kind = tracer
+        # Route the albedo gather's backward through a flat 1-D scatter
+        # (see _gather_rows_flatbwd); forward math is identical.
+        self.flat_albedo_bwd = bool(flat_albedo_bwd)
         self.tree = device_bitgrid(bg, skip_rows=(tracer == "skip"))
         self.size = int(bg.size)
         self.max_hits = int(max_hits)
@@ -515,11 +553,15 @@ class SoftRenderer:
         # NOTE on the backward scatter (xprof, PERF.md "soft backward
         # scatter layout"): the [N,3] row scatter-add this gather's VJP
         # produces costs ~86 ms/step — 9x the per-element rate of the
-        # flat logits scatter.  A flat per-component gather was tried and
-        # measured WORSE overall (+42 ms: the forward becomes 3.1M scalar
-        # gathers and XLA inserts ~51 ms of layout copies), so the row
-        # gather stays.
-        alb = params["albedo"][addr]  # [R, K, 3]
+        # flat logits scatter.  A flat per-component FORWARD gather was
+        # tried and measured WORSE overall (+42 ms: the forward becomes
+        # 3.1M scalar gathers and XLA inserts ~51 ms of layout copies), so
+        # the forward row gather stays; ``flat_albedo_bwd`` keeps it and
+        # reroutes only the BACKWARD through a flat 1-D scatter.
+        if self.flat_albedo_bwd:
+            alb = _gather_rows_flatbwd(params["albedo"], addr)  # [R, K, 3]
+        else:
+            alb = params["albedo"][addr]  # [R, K, 3]
         alpha = jax.nn.sigmoid(params["logits"][addr])  # [R, K]
         alpha = jnp.where(valid, alpha, 0.0)
         trans = jnp.cumprod(1.0 - alpha + 1e-9, axis=1)
