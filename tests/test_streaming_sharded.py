@@ -1,0 +1,64 @@
+"""Mesh-sharded streaming render parity (8-device CPU mesh).
+
+The BASELINE "large terrain with sharded ray tiles (streaming path)"
+configuration: window + far-ring traces fan out over the rays axis of a
+device mesh; frames must match the single-device StreamingView render.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from voxelhex_tpu.parallel.streaming_sharded import render_streaming_sharded
+from voxelhex_tpu.render.camera import orbit_camera
+from voxelhex_tpu.render.streaming import StreamingView
+from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+
+RED = Albedo.from_u32(0xFF0000FF)
+GREEN = Albedo.from_u32(0x00FF00FF)
+BLUE = Albedo.from_u32(0x0000FFFF)
+
+
+def _mesh():
+    assert len(jax.devices()) == 8
+    return Mesh(np.array(jax.devices()), ("rays",))
+
+
+def test_sharded_streaming_far_rings_match_single_device():
+    # world larger than the window -> far-field LOD rings active
+    tree = BoxTree(256, 4, auto_simplify=False)
+    rng = np.random.default_rng(7)
+    # content inside the (centered) window and beyond it, out to the edge
+    for _ in range(300):
+        p = tuple(int(v) for v in rng.integers(112, 144, 3))
+        tree.insert(p, RED)
+    for _ in range(200):
+        p = tuple(int(v) for v in rng.integers(0, 256, 3))
+        tree.insert(p, GREEN)
+    tree.insert((254, 128, 128), BLUE)  # far content near the world edge
+
+    view = StreamingView(tree, view_size=32, regions_per_update=4096)
+    cam = orbit_camera(256.0, resolution=(64, 32))
+    single = np.asarray(view.render(cam))
+    assert view.far is not None and len(view.far.tiers) >= 1
+
+    sharded = render_streaming_sharded(view, cam, _mesh())
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    assert float(np.abs(single).sum()) > 0  # the frame actually has content
+
+
+def test_sharded_streaming_window_only_matches_single_device():
+    # world == window -> no far field; pure window trace shards
+    tree = BoxTree(64, 4, auto_simplify=False)
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        p = tuple(int(v) for v in rng.integers(0, 64, 3))
+        tree.insert(p, RED)
+    view = StreamingView(tree, view_size=64, regions_per_update=4096)
+    cam = orbit_camera(64.0, resolution=(40, 24))
+    single = np.asarray(view.render(cam))
+    assert view.far is None
+
+    sharded = render_streaming_sharded(view, cam, _mesh())
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
