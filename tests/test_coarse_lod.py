@@ -127,3 +127,19 @@ def test_streaming_placeholder_device_render_parity():
                           placeholder_lod=False)
     img2 = np.asarray(exact.render(cam))
     np.testing.assert_array_equal(img, img2)
+
+
+def test_sample_coarse_small_content_under_internal_node_without_mips():
+    """Content smaller than the coarse texel under a MIP-less INTERNAL node
+    must sample a real descendant color, not NO_COLOR_HIT (regression:
+    far-field rings at factor >= 16 rendered such content as hit-but-black
+    silhouettes on 1024^3+ worlds)."""
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    tree.insert_at_lod((224, 16, 224), 16, Albedo(40, 200, 40, 255))
+    flat = flatten(tree)
+    q = np.array([[232, 24, 232]])  # center of the F16 cell holding it
+    occ, col = sample_coarse(flat, q, 16)
+    assert occ[0]
+    assert col[0] != NO_COLOR_HIT and col[0] >= 0
+    pal = flat.palette[col[0]]
+    assert pal[1] > pal[0] and pal[1] > pal[2]  # the block's green

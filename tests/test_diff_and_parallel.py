@@ -276,3 +276,27 @@ def test_pipelined_train_step_matches_plain(small_scene, rays):
 
     assert float(l2) == pytest.approx(float(l1), rel=1e-5)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-5)
+
+
+def test_diff_flat_albedo_bwd_grad_parity(small_scene, rays):
+    """DiffRenderer's flat-scatter albedo VJP must produce the identical
+    loss and gradients as the default row-scatter VJP."""
+    o, d = rays
+    r_flat = DiffRenderer(small_scene, max_inner=256)  # default: flat bwd
+    r_row = DiffRenderer(small_scene, max_inner=256, flat_albedo_bwd=False)
+    params = r_flat.init_params()
+    target = jnp.zeros((o.shape[0], 3), dtype=jnp.float32)
+
+    def grads_of(r):
+        def loss_fn(p):
+            return r.loss(p, o, d, target)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    l_flat, g_flat = grads_of(r_flat)
+    l_row, g_row = grads_of(r_row)
+    assert np.allclose(float(l_flat), float(l_row), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(g_flat), np.asarray(g_row), rtol=1e-6, atol=1e-7
+    )
+    assert float(np.abs(np.asarray(g_flat)).sum()) > 0

@@ -237,3 +237,19 @@ def test_frustum_prioritized_uploads():
         rel = center - np.asarray(cam.origin)
         # all budgeted regions lie forward of the camera (+x), none behind
         assert rel[0] > -16, (rx, ry, rz)
+
+
+def test_far_ring_shows_subtexel_content_large_world():
+    """A 16^3 block in a factor-16 ring of a 1024^3 world must render with
+    its color (regression: sample_coarse returned NO_COLOR_HIT for content
+    below the ring texel under MIP-less internal nodes — black silhouettes)."""
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    tree.insert_at_lod((16, 16, 16), 8, Albedo(200, 40, 40, 255))
+    tree.insert_at_lod((224, 16, 224), 16, Albedo(40, 200, 40, 255))
+    view = StreamingView(tree, view_size=64, regions_per_update=4096)
+    cam = _camera((28.0, 30.0, 28.0), (34.0, 26.0, 34.0))
+    img = np.asarray(view.render(cam))
+    nz = np.any(img != 0.0, axis=-1)
+    assert nz.sum() >= 5, "distant block did not render"
+    green = img[nz][:, 1] > img[nz][:, 0]
+    assert green.mean() > 0.9

@@ -138,6 +138,41 @@ def albedo_params_from_flat(flat: FlatTree) -> jnp.ndarray:
     return jnp.asarray(alb)
 
 
+@jax.custom_vjp
+def _gather_bc_flatbwd(params, brick, cell):
+    """``params[brick, cell]`` ([R, 3] rows from [B, d^3, 3]) with the
+    backward rerouted through a flat 1-D scatter.
+
+    The default VJP is a [B, d^3, 3] row scatter-add, which XLA lowers at
+    ~9x the per-element rate of a flat scatter (PERF.md "soft backward
+    scatter layout"; same mechanism as soft.py's ``_gather_rows_flatbwd``).
+    Forward math is unchanged; gradients are identical.
+    """
+    return params[brick, cell]
+
+
+def _gather_bc_flatbwd_fwd(params, brick, cell):
+    return params[brick, cell], (brick, cell, params.shape)
+
+
+def _gather_bc_flatbwd_bwd(res, g):
+    brick, cell, shape = res
+    B, D3, C = shape
+    flat_idx = (
+        (brick * D3 + cell)[:, None] * C + jnp.arange(C, dtype=jnp.int32)
+    ).reshape(-1)
+    gp = (
+        jnp.zeros(B * D3 * C, dtype=g.dtype)
+        .at[flat_idx]
+        .add(g.reshape(-1))
+        .reshape(B, D3, C)
+    )
+    return gp, None, None
+
+
+_gather_bc_flatbwd.defvjp(_gather_bc_flatbwd_fwd, _gather_bc_flatbwd_bwd)
+
+
 def shade_diff(albedo_rgb, hit, normal, bg):
     """Reference shading, differentiable in albedo."""
     light = jnp.asarray(LIGHT)
@@ -154,13 +189,16 @@ class DiffRenderer:
     the BitGrid automaton (the production forward kernel).
     """
 
-    def __init__(self, flat: FlatTree, max_inner: int = 2048):
+    def __init__(self, flat: FlatTree, max_inner: int = 2048,
+                 flat_albedo_bwd: bool = True):
         from voxelhex_tpu.render.bitgrid import (
             build_bitgrid,
             device_bitgrid,
             make_bitgrid_tracer,
         )
 
+        # albedo-gather VJP as a flat 1-D scatter (see _gather_bc_flatbwd)
+        self.flat_albedo_bwd = bool(flat_albedo_bwd)
         self.flat = densify(flat)
         self.brick_dim = self.flat.brick_dim
         self.bitgrid = build_bitgrid(self.flat)
@@ -191,7 +229,10 @@ class DiffRenderer:
         hit, _voxel, brick, cell, _point, normal = self.trace_rays(origins, dirs)
         brick_c = jnp.clip(brick, 0, params.shape[0] - 1)
         cell_c = jnp.clip(cell, 0, params.shape[1] - 1)
-        albedo = params[brick_c, cell_c]
+        if self.flat_albedo_bwd:
+            albedo = _gather_bc_flatbwd(params, brick_c, cell_c)
+        else:
+            albedo = params[brick_c, cell_c]
         albedo = jnp.where((hit & (brick >= 0))[:, None], albedo, 0.0)
         normal = jax.lax.stop_gradient(normal)
         return shade_diff(albedo, hit, normal, jnp.asarray(bg, dtype=F32))
