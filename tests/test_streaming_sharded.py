@@ -62,3 +62,29 @@ def test_sharded_streaming_window_only_matches_single_device():
 
     sharded = render_streaming_sharded(view, cam, _mesh())
     np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_sharded_streaming_multi_ring_matches_single_device():
+    """Two far rings (factors 16 and 64 at 1024^3/view 32): the sharded
+    tier loop must fold every ring identically to the single-device path."""
+    from voxelhex_tpu.render.camera import Camera
+
+    tree = BoxTree(1024, 4, auto_simplify=True)
+    tree.insert_at_lod((16, 16, 16), 8, RED)      # window content
+    tree.insert_at_lod((224, 16, 224), 16, GREEN)  # ring 1 (F16)
+    tree.insert_at_lod((896, 16, 896), 64, BLUE)   # ring 2 (F64)
+    view = StreamingView(tree, view_size=32, regions_per_update=4096)
+    cam = Camera(
+        origin=np.array([28.0, 30.0, 28.0], dtype=np.float32),
+        target=np.array([34.0, 26.0, 34.0], dtype=np.float32),
+        up=np.array([0.0, 1.0, 0.0], dtype=np.float32),
+        fov_y_deg=50.0,
+        resolution=(64, 32),
+    )
+    single = np.asarray(view.render(cam))
+    assert view.far is not None and len(view.far.tiers) == 2
+
+    sharded = render_streaming_sharded(view, cam, _mesh())
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    nz = np.any(single != 0.0, axis=-1)
+    assert nz.sum() >= 3  # ring content visible in both renders
