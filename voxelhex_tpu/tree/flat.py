@@ -245,7 +245,10 @@ def sample_coarse(flat: FlatTree, pts: np.ndarray, granularity: int | None = Non
       bottoms out at node_size = granularity * brick_dim);
     * leaf/uniform brick data (solid value, or a point sample of the brick
       voxel at the query point);
-    * the node's sectant occupancy bit with NO_COLOR_HIT (mips disabled).
+    * for MIP-less internal nodes: a representative color from the
+      occupied subtree (lowest-occupied-branch walk — the bottom-up
+      analog of the reference's *BD MIP filters); NO_COLOR_HIT only when
+      the subtree holds colorless/informative-only data.
     """
     pts = np.asarray(pts, dtype=np.int64).reshape(-1, 3)
     M = pts.shape[0]
