@@ -99,3 +99,28 @@ def test_render_solid_cube_covers_screen():
     # green everywhere, shaded
     assert (img[:, :, 1] > 0.1).mean() > 0.95
     assert img[:, :, 0].max() < 1e-3
+
+
+def test_degenerate_lookat_camera_renders():
+    """A camera straight above (or below) its target makes forward parallel
+    to the default up vector; the basis must fall back to another axis
+    instead of producing a NaN ray grid (regression: black frames + NaN
+    normalize warnings for top-down cameras)."""
+    tree = BoxTree(16, 4, auto_simplify=False)
+    tree.insert_at_lod((0, 0, 0), 16, GREEN)
+    flat = flatten(tree)
+    renderer = JaxRenderer(flat)
+    for eye_y in (24.0, -8.0):  # close enough that the cube fills the fov
+        cam = Camera(
+            origin=np.array([8.0, eye_y, 8.0]),
+            target=np.array([8.0, 8.0, 8.0]),
+            resolution=(16, 16),
+            fov_y_deg=40.0,
+        )
+        f, r, u = cam.basis()
+        for v in (f, r, u):
+            assert np.isfinite(v).all()
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        img = renderer.render(cam)
+        assert np.isfinite(img).all()
+        assert (img[:, :, 1] > 0.1).mean() > 0.9  # cube fills the view

@@ -28,7 +28,16 @@ class Camera:
 
     def basis(self):
         forward = _normalize(np.asarray(self.target) - np.asarray(self.origin))
-        right = _normalize(np.cross(self.up, forward))
+        up_hint = np.asarray(self.up, dtype=np.float32)
+        if abs(float(np.dot(forward, _normalize(up_hint)))) > 0.9999:
+            # degenerate look-at (camera straight above/below its target):
+            # cross(up, forward) ~ 0 would NaN the whole ray grid — fall
+            # back to an axis not parallel to the view direction
+            up_hint = np.array(
+                [0.0, 0.0, 1.0] if abs(forward[2]) < 0.9 else [1.0, 0.0, 0.0],
+                dtype=np.float32,
+            )
+        right = _normalize(np.cross(up_hint, forward))
         up = np.cross(forward, right)
         return forward, right, up
 
