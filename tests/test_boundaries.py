@@ -1,0 +1,115 @@
+"""Boundary-condition sweep: configurations at the edges of the API's
+domain must render/trace without error and produce sane output.
+
+These pin the probe set that uncovered the degenerate look-at camera bug
+(see test_jax_renderer.py::test_degenerate_lookat_camera_renders): empty
+trees, windows covering or exceeding the world, cameras outside the
+world, far-field content beyond the streaming window, and all-miss ray
+batches through the differentiable path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voxelhex_tpu.tree.boxtree import BoxTree, Albedo
+from voxelhex_tpu.render.bitgrid import BitGridRenderer
+from voxelhex_tpu.render.streaming import StreamingView
+from voxelhex_tpu.render.camera import Camera, orbit_camera
+
+RED = Albedo(200, 80, 40, 255)
+
+
+def _drain(sv, cam, steps=80):
+    for _ in range(steps):
+        if sv.update(np.asarray(cam.origin), camera=cam) == 0:
+            return
+    raise AssertionError("streaming view never drained")
+
+
+def test_empty_tree_renders_black():
+    tree = BoxTree(64, 4)
+    r = BitGridRenderer(tree)
+    img = np.asarray(r.render(orbit_camera(64, resolution=(32, 24)),
+                              out_u8=True))
+    assert img.shape == (24, 32, 3)
+    assert (img == 0).all()
+
+
+def test_empty_tree_streaming_with_far_field():
+    tree = BoxTree(256, 4)
+    sv = StreamingView(tree, view_size=64, far_field=True)
+    cam = orbit_camera(256, resolution=(32, 24))
+    _drain(sv, cam)
+    img = np.asarray(sv.render(cam, out_u8=True))
+    assert (img == 0).all()
+
+
+def test_window_covering_whole_world():
+    """view_size == world size: the window IS the world; content renders."""
+    tree = BoxTree(64, 4)
+    tree.insert_at_lod((16, 16, 16), 32, RED)
+    sv = StreamingView(tree, view_size=64)
+    cam = orbit_camera(64, resolution=(32, 24))
+    _drain(sv, cam)
+    img = np.asarray(sv.render(cam, out_u8=True))
+    assert int((img[..., :3].sum(axis=-1) > 0).sum()) > 20
+
+
+def test_window_larger_than_world():
+    """view_size > world size must clamp, not crash, and still render."""
+    tree = BoxTree(64, 4)
+    tree.insert_at_lod((16, 16, 16), 32, RED)
+    sv = StreamingView(tree, view_size=256)
+    cam = orbit_camera(64, resolution=(32, 24))
+    _drain(sv, cam)
+    img = np.asarray(sv.render(cam, out_u8=True))
+    assert int((img[..., :3].sum(axis=-1) > 0).sum()) > 20
+
+
+def test_camera_outside_world_renders_content():
+    """Rays originating outside the tree AABB must still enter and hit."""
+    tree = BoxTree(64, 4)
+    tree.insert_at_lod((0, 0, 0), 32, RED)
+    r = BitGridRenderer(tree)
+    for eye in [(-200.0, 30.0, 30.0), (300.0, 300.0, 300.0)]:
+        cam = Camera(origin=np.array(eye),
+                     target=np.array([16.0, 16.0, 16.0]),
+                     resolution=(64, 48), fov_y_deg=60.0)
+        img = np.asarray(r.render(cam, out_u8=True))
+        assert int((img[..., :3].sum(axis=-1) > 0).sum()) > 5
+
+
+def test_far_field_block_beyond_window_visible():
+    """A 64^3 block far outside the 256^3 window must appear through the
+    far-field rings (reference analog: probe_MIP / per-level inclusion
+    distances, upload_queue.rs:150-207)."""
+    tree = BoxTree(1024, 4)
+    tree.insert_at_lod((768, 256, 768), 64, Albedo(250, 250, 250, 255))
+    sv = StreamingView(tree, view_size=256, far_field=True)
+    eye = np.array([40.0, 300.0, 40.0])
+    cam = Camera(origin=eye, target=np.array([768.0, 280.0, 768.0]),
+                 resolution=(64, 48), fov_y_deg=60.0)
+    _drain(sv, cam)
+    img = np.asarray(sv.render(cam, out_u8=True))
+    assert int((img[..., :3].sum(axis=-1) > 0).sum()) > 0
+
+
+def test_all_miss_rays_zero_hits_finite_grads():
+    """A batch where every ray misses: zero hit counts, and the
+    hit-compacted backward still returns finite (zero) gradients."""
+    from voxelhex_tpu.diff.soft import SoftRenderer
+
+    tree = BoxTree(16, 4)
+    tree.insert((2, 2, 2), RED)
+    sr = SoftRenderer(tree)
+    R = 64
+    o = np.tile(np.array([[8.0, 8.0, -5.0]], dtype=np.float32), (R, 1))
+    d = np.tile(np.array([[0.0, 1.0, 0.0]], dtype=np.float32), (R, 1))
+    count, voxels, dists = sr.trace_hits(o, d)
+    assert int(jnp.sum(count)) == 0
+    loss, grads = sr.grad_on_hits(sr.init_params(), count, voxels,
+                                  np.zeros((R, 3), dtype=np.float32))
+    assert np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
