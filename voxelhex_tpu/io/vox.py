@@ -98,6 +98,16 @@ def parse_vox(path) -> VoxFile:
     pending_size = None
 
     off = 8
+    try:
+        return _parse_vox_chunks(data, off, models, palette, scene,
+                                 pending_size)
+    except (struct.error, IndexError) as e:
+        # a truncated/corrupt stream fails mid-unpack — surface a clean
+        # error (the viewer's drag-drop /load route shows this message)
+        raise ValueError(f"truncated or corrupt .vox file: {e}") from e
+
+
+def _parse_vox_chunks(data, off, models, palette, scene, pending_size):
     # MAIN chunk header
     cid, csize, childsize = struct.unpack_from("<4sii", data, off)
     if cid != b"MAIN":
