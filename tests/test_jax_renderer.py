@@ -124,3 +124,55 @@ def test_degenerate_lookat_camera_renders():
         img = renderer.render(cam)
         assert np.isfinite(img).all()
         assert (img[:, :, 1] > 0.1).mean() > 0.9  # cube fills the view
+
+
+def test_orbit_roll_continuity_through_pole():
+    """An orbiting camera crossing straight-down keeps a continuous roll:
+    the basis now Gram-Schmidts the supplied up hint against forward
+    instead of snapping to a world axis at the 0.9999 parallel threshold
+    (ADVICE r3).  Consecutive right vectors across the pole crossing must
+    stay nearly parallel (no ~90-degree flip)."""
+    target = np.array([8.0, 8.0, 8.0])
+    rights = []
+    # pitch approaches 90 degrees (camera almost directly above the target);
+    # the old code snapped to a world axis once |dot| crossed 0.9999
+    for pitch_deg in (88.0, 89.5, 89.995, 89.9999):
+        pitch = np.radians(pitch_deg)
+        r = 20.0
+        eye = target + r * np.array([0.0, np.sin(pitch), -np.cos(pitch)])
+        cam = Camera(origin=eye, target=target, resolution=(8, 8))
+        f, right, u = cam.basis()
+        for v in (f, right, u):
+            assert np.isfinite(v).all()
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+        rights.append(right)
+    for a, b in zip(rights, rights[1:]):
+        assert float(np.dot(a, b)) > 0.999, (a, b)
+
+
+def test_near_parallel_supplied_up_is_honored():
+    """A user-supplied up within the old 0.9999 threshold is Gram-Schmidted,
+    not discarded: the projected up keeps the supplied tilt direction."""
+    eye = np.array([8.0, 28.0, 8.0])
+    target = np.array([8.0, 8.0, 8.0])
+    # up tilted a hair off straight-up, toward +x
+    up_hint = np.array([5e-3, 1.0, 0.0])
+    cam = Camera(origin=eye, target=target, up=up_hint, resolution=(8, 8))
+    f, r, u = cam.basis()
+    # forward is [0,-1,0]; the orthogonalized up must point along +x
+    assert float(u[0]) > 0.99, u
+
+
+def test_exactly_parallel_up_still_falls_back():
+    """With forward EXACTLY parallel to up (zero residual) the fixed-axis
+    fallback still applies — finite orthonormal basis, no NaNs."""
+    cam = Camera(
+        origin=np.array([8.0, 24.0, 8.0]),
+        target=np.array([8.0, 8.0, 8.0]),
+        up=np.array([0.0, 1.0, 0.0]),
+        resolution=(8, 8),
+    )
+    f, r, u = cam.basis()
+    for v in (f, r, u):
+        assert np.isfinite(v).all()
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5

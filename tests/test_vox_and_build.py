@@ -122,3 +122,33 @@ def test_load_navigate_tree_and_trace():
         assert e.albedo.r == colors[i][0]
         assert e.albedo.g == colors[i][1]
         assert e.albedo.b == colors[i][2]
+
+
+def test_corrupt_vox_raises_clean_error(tmp_path):
+    """Every corrupt-file shape surfaces the clean 'truncated or corrupt'
+    ValueError (ADVICE r3: a short XYZI body used to leak a raw numpy
+    ValueError, and XYZI-without-SIZE an AssertionError stripped under -O)."""
+    import struct
+
+    def vox_bytes(chunks):
+        body = b""
+        for cid, payload in chunks:
+            body += struct.pack("<4sii", cid, len(payload), 0) + payload
+        return (b"VOX " + struct.pack("<i", 150)
+                + struct.pack("<4sii", b"MAIN", 0, len(body)) + body)
+
+    # XYZI claiming more voxels than the body holds (short read)
+    short = vox_bytes([
+        (b"SIZE", struct.pack("<3i", 4, 4, 4)),
+        (b"XYZI", struct.pack("<i", 100) + b"\x01\x01\x01\x01" * 2),
+    ])
+    # XYZI with no preceding SIZE
+    nosize = vox_bytes([(b"XYZI", struct.pack("<i", 1) + b"\x01\x01\x01\x01")])
+    # stream cut mid-chunk-header
+    trunc = vox_bytes([(b"SIZE", struct.pack("<3i", 4, 4, 4))])[:-5]
+
+    for name, data in (("short", short), ("nosize", nosize), ("trunc", trunc)):
+        p = tmp_path / f"{name}.vox"
+        p.write_bytes(data)
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            parse_vox(str(p))

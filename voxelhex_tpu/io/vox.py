@@ -101,9 +101,15 @@ def parse_vox(path) -> VoxFile:
     try:
         return _parse_vox_chunks(data, off, models, palette, scene,
                                  pending_size)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
         # a truncated/corrupt stream fails mid-unpack — surface a clean
         # error (the viewer's drag-drop /load route shows this message)
+        raise ValueError(f"truncated or corrupt .vox file: {e}") from e
+    except ValueError as e:
+        # short chunk bodies surface as raw numpy frombuffer/reshape
+        # ValueErrors; re-wrap those too (but keep already-clean messages)
+        if "truncated or corrupt" in str(e) or "MAIN chunk" in str(e):
+            raise
         raise ValueError(f"truncated or corrupt .vox file: {e}") from e
 
 
@@ -124,8 +130,14 @@ def _parse_vox_chunks(data, off, models, palette, scene, pending_size):
             pending_size = np.array(struct.unpack("<3i", body), dtype=np.int32)
         elif cid == b"XYZI":
             (n,) = struct.unpack_from("<i", body, 0)
+            if len(body) < 4 + 4 * n:
+                raise ValueError(
+                    f"XYZI body holds {(len(body) - 4) // 4} voxels, "
+                    f"header claims {n}"
+                )
             vox = np.frombuffer(body[4 : 4 + 4 * n], dtype=np.uint8).reshape(n, 4)
-            assert pending_size is not None, "XYZI without preceding SIZE"
+            if pending_size is None:
+                raise ValueError("XYZI without preceding SIZE")
             models.append(VoxModel(size=pending_size, voxels=vox))
             pending_size = None
         elif cid == b"RGBA":

@@ -28,11 +28,18 @@ class Camera:
 
     def basis(self):
         forward = _normalize(np.asarray(self.target) - np.asarray(self.origin))
-        up_hint = np.asarray(self.up, dtype=np.float32)
-        if abs(float(np.dot(forward, _normalize(up_hint)))) > 0.9999:
-            # degenerate look-at (camera straight above/below its target):
-            # cross(up, forward) ~ 0 would NaN the whole ray grid — fall
-            # back to an axis not parallel to the view direction
+        up_hint = _normalize(np.asarray(self.up, dtype=np.float32))
+        # Near-degenerate look-at (view direction almost parallel to the up
+        # hint): orthogonalize the SUPPLIED up against forward (Gram-Schmidt)
+        # so an orbiting camera crossing straight-down/up keeps a continuous
+        # roll instead of snapping ~90° to a world axis; only when the
+        # residual truly vanishes (exactly parallel — no roll information
+        # left in the hint) fall back to a fixed non-parallel axis.
+        resid = up_hint - float(np.dot(up_hint, forward)) * forward
+        rn = float(np.linalg.norm(resid))
+        if rn > 1e-6:
+            up_hint = resid / rn
+        else:
             up_hint = np.array(
                 [0.0, 0.0, 1.0] if abs(forward[2]) < 0.9 else [1.0, 0.0, 0.0],
                 dtype=np.float32,
