@@ -651,3 +651,58 @@ def test_skip_rows_structure():
             idx = int(bg.level_bases[k]) + kx + ky * dims[k] + kz * dims[k] ** 2
             assert rows[a, 2 * k] == bg.occ_lo[idx]
             assert rows[a, 2 * k + 1] == bg.occ_hi[idx]
+
+
+def test_render_many_batched_frames_match_per_frame():
+    """render_many: K same-resolution frames as ONE dispatch (scan over
+    camera params) must equal per-frame renders exactly — plain and with
+    the beam prepass traced in — and fall back to None before a stable
+    plan exists."""
+    tree = make_scene(64, 4, seed=7)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cams = [
+        orbit_camera(64.0, yaw_deg=y, resolution=(160, 120))
+        for y in (20.0, 22.0, 24.0)
+    ]
+    # no plan yet: the batch path declines
+    assert rf.render_many(cams, out_u8=True) is None
+    singles = [r.render(c, out_u8=True) for c in cams]
+    for _ in range(3):  # record + stabilize + fuse on the first camera
+        rf.render(cams[0], out_u8=True)
+    batch = rf.render_many(cams, out_u8=True)
+    assert batch is not None and batch.shape == (3, 120, 160, 3)
+    assert rf.last_stats.get("batched_frames") == 3
+    for got, want in zip(batch, singles):
+        np.testing.assert_array_equal(got, want)
+
+    # beam variant: the beam prepass runs inside the scanned program
+    for _ in range(3):
+        rf.render(cams[0], beam_prepass=True, out_u8=True)
+    batch_b = rf.render_many(cams, beam_prepass=True, out_u8=True)
+    if batch_b is not None:  # beam spec can decline on tiny scenes
+        assert rf.last_stats.get("beam_fused")
+        for got, want in zip(batch_b, singles):
+            np.testing.assert_array_equal(got, want)
+
+
+def test_render_many_overflow_falls_back_to_none():
+    """A camera whose frame outgrows the recorded plan makes render_many
+    return None (plan dropped) instead of delivering dropped-ray frames;
+    the per-frame path then re-records and the batch works again."""
+    tree = make_scene(64, 4, seed=9)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    far = orbit_camera(64.0, distance_factor=6.0, resolution=(160, 120))
+    near = orbit_camera(64.0, distance_factor=1.1, resolution=(160, 120))
+    for _ in range(3):  # plan for the easy (far) viewpoint
+        rf.render(far, out_u8=True)
+    out = rf.render_many([far, near], out_u8=True)
+    if out is None:
+        # overflow detected: plan dropped; per-frame path still exact
+        np.testing.assert_array_equal(
+            rf.render(near, out_u8=True), r.render(near, out_u8=True)
+        )
+    else:
+        # the near frame happened to fit the plan: must be exact
+        np.testing.assert_array_equal(out[1], r.render(near, out_u8=True))

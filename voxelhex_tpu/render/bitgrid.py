@@ -1635,47 +1635,24 @@ class BitGridRenderer:
         rgb = self._lod_cache[key](self.tree, o_d, d_d, jnp.asarray(bg, dtype=F32))
         return np.asarray(rgb).reshape(h, w, 3)
 
-    def _fused_plan_fn(self, R, preb, entries, has_start, beam_key=None,
-                       cam=None, u8=False):
-        """One jitted program executing an entire planned frame: init,
-        optional round-0 compaction to ``preb``, every (iters, bucket)
-        round of ``entries``, the final scatter, color resolve and shading.
-        Returns (hit, voxel, hvox, hpoint, hnormal, rgb, counts) where
-        ``counts`` = [pre_alive?] + per-round straggler counts — the
-        frame's ONE blocking read, used for overflow detection.
+    def _frame_body(self, R, preb, entries, has_start, u8=False):
+        """TRACEABLE whole-planned-frame body ``build(tree, o, dv, st, bgc)
+        -> (hit, voxel, hvox, hpoint, hnormal, rgb, counts)`` — shared by
+        the one-dispatch fused frame (:meth:`_fused_plan_fn`) and the
+        K-frame batched program (:meth:`_fused_batch_fn`).
 
-        ``beam_key``: when set, the BEAM PREPASS is traced into the same
-        program (the fused fn then takes the beam tree + beam rays and
-        computes the conservative starts itself) — a beam frame costs one
-        dispatch total, vs the separate ``beam_start`` dispatch that loses
-        in dispatch-bound tunnel sessions (PERF.md "Beam prepass").
-
-        ``cam``: a (w, h) resolution — RAY GENERATION is traced into the
-        program too (the fn takes ~60 B of camera params instead of ray
-        arrays), and with ``beam_key`` the beam rays derive from the same
-        params at w//tile x h//tile.  With ``u8`` the output quantizes on
-        device inside the same program.  Together these make a steady-state
-        frame exactly ONE dispatch: raygen, beam, init, round-0 compaction,
-        rounds, compactions, shade, u8."""
-        key = (R, preb, entries, has_start, beam_key, cam, u8)
-        fn = self._fused_fns.get(key)
-        if fn is not None:
-            return fn
+        The per-ray RESULT lives in ONE packed [R, 14] u32 accumulator
+        (hit, voxel, hvox*3, hnormal*3, hpoint*3, rgb*3): each compaction
+        writes its rows back with a single wide scatter instead of 4, and
+        color resolve + shading happen ON THE COMPACTED DOMAIN as rays
+        retire (~4x fewer rows on the bench scene) instead of a full-width
+        pass at the end — the full-frame finish measured ~90 ms of the
+        fused frame.  Identical math per ray, so results stay bit-exact."""
         trace = self._trace
         raw = self._raw_fns
-        beam_body = self._beam_body(*beam_key) if beam_key else None
-
         resolve_color = trace.resolve_color
 
         def build(tree, o, dv, st, bgc):
-            # The per-ray RESULT lives in ONE packed [R, 14] u32 accumulator
-            # (hit, voxel, hvox*3, hnormal*3, hpoint*3, rgb*3): each
-            # compaction then writes its rows back with a single wide
-            # scatter instead of 4, and color resolve + shading happen ON
-            # THE COMPACTED DOMAIN as rays retire (~4x fewer rows on the
-            # bench scene) instead of a full-width pass at the end — the
-            # full-frame finish measured ~90 ms of the fused frame.
-            # Identical math per ray, so results stay bit-exact.
             state = trace.init(tree, o, dv, st if has_start else None)
             counts = []
             orig = None
@@ -1736,6 +1713,37 @@ class BitGridRenderer:
                     jnp.uint8
                 )
             return hit, voxel, hvox, hpoint, hnormal, rgb, jnp.stack(counts)
+
+        return build
+
+    def _fused_plan_fn(self, R, preb, entries, has_start, beam_key=None,
+                       cam=None, u8=False):
+        """One jitted program executing an entire planned frame: init,
+        optional round-0 compaction to ``preb``, every (iters, bucket)
+        round of ``entries``, the final scatter, color resolve and shading.
+        Returns (hit, voxel, hvox, hpoint, hnormal, rgb, counts) where
+        ``counts`` = [pre_alive?] + per-round straggler counts — the
+        frame's ONE blocking read, used for overflow detection.
+
+        ``beam_key``: when set, the BEAM PREPASS is traced into the same
+        program (the fused fn then takes the beam tree + beam rays and
+        computes the conservative starts itself) — a beam frame costs one
+        dispatch total, vs the separate ``beam_start`` dispatch that loses
+        in dispatch-bound tunnel sessions (PERF.md "Beam prepass").
+
+        ``cam``: a (w, h) resolution — RAY GENERATION is traced into the
+        program too (the fn takes ~60 B of camera params instead of ray
+        arrays), and with ``beam_key`` the beam rays derive from the same
+        params at w//tile x h//tile.  With ``u8`` the output quantizes on
+        device inside the same program.  Together these make a steady-state
+        frame exactly ONE dispatch: raygen, beam, init, round-0 compaction,
+        rounds, compactions, shade, u8."""
+        key = (R, preb, entries, has_start, beam_key, cam, u8)
+        fn = self._fused_fns.get(key)
+        if fn is not None:
+            return fn
+        beam_body = self._beam_body(*beam_key) if beam_key else None
+        build = self._frame_body(R, preb, entries, has_start, u8=u8)
 
         if cam is not None:
             from voxelhex_tpu.render.camera import raygen_body
@@ -1958,6 +1966,150 @@ class BitGridRenderer:
         }
         self._record_plan(plan_key, plan_from_rounds(rounds, pre=pre))
         return rgb
+
+    def _fused_batch_fn(self, R, preb, entries, has_start, beam_key, cam,
+                        u8, K):
+        """K same-shape planned frames as ONE jitted program: ``lax.scan``
+        over stacked camera params, each iteration the full fused frame
+        body (raygen, beam, init, rounds, compactions, shade, u8).
+        Returns ``fn(tree[, tree_b], origins[K,3], rights, ups, forwards,
+        scales[K,2], bgc) -> (rgb [K,R,3], counts [K,C])`` — K frames per
+        dispatch amortizes the tunnel's per-dispatch + counts-RTT overhead
+        (~70 ms/frame measured, PERF.md xprof proof) K-fold; scan keeps one
+        frame's buffers live at a time, so memory matches a single frame
+        plus the [K,R,3] output."""
+        key = (R, preb, entries, has_start, beam_key, cam, u8, K, "batch")
+        fn = self._fused_fns.get(key)
+        if fn is not None:
+            return fn
+        from voxelhex_tpu.render.camera import raygen_body
+
+        build = self._frame_body(R, preb, entries, has_start, u8=u8)
+        w, h = cam
+        gen_main = raygen_body(w, h)
+        if beam_key is not None:
+            beam_body = self._beam_body(*beam_key)
+            tile = beam_key[3]
+            gen_beam = raygen_body(w // tile, h // tile)
+
+            def fn_batch(tree, tree_b, origins, rights, ups, forwards,
+                         scales, bgc):
+                def one(_, xs):
+                    origin, right, up, forward, scale = xs
+                    o, dv = gen_main(origin, right, up, forward, scale)
+                    o_b, d_b = gen_beam(origin, right, up, forward, scale)
+                    out = build(tree, o, dv, beam_body(tree_b, o_b, d_b),
+                                bgc)
+                    return 0, (out[5], out[6])
+
+                _, (rgbs, counts) = jax.lax.scan(
+                    one, 0, (origins, rights, ups, forwards, scales)
+                )
+                return rgbs, counts
+        else:
+
+            def fn_batch(tree, origins, rights, ups, forwards, scales, bgc):
+                def one(_, xs):
+                    origin, right, up, forward, scale = xs
+                    o, dv = gen_main(origin, right, up, forward, scale)
+                    out = build(tree, o, dv, None, bgc)
+                    return 0, (out[5], out[6])
+
+                _, (rgbs, counts) = jax.lax.scan(
+                    one, 0, (origins, rights, ups, forwards, scales)
+                )
+                return rgbs, counts
+
+        fn = jax.jit(fn_batch)
+        self._fused_fns[key] = fn
+        return fn
+
+    def render_many(self, cameras, bg=(0.0, 0.0, 0.0), out_u8: bool = False,
+                    beam_prepass: bool = False, out_device: bool = False):
+        """Render K same-resolution frames as ONE dispatch (scan over
+        camera params — turntables, fly-paths, animation batches).  Host
+        traffic for the whole batch: K×~60 B of camera params up, one
+        counts read + the pixels down.  Requires ``fuse_plan`` and a
+        recorded stable plan (the same gate as the one-dispatch single
+        frame); returns ``[K, h, w, 3]`` (device array with
+        ``out_device``) or None when the batch path is unavailable (no
+        complete plan yet, plan overflow, beam spec missing, or mixed
+        resolutions) — callers then render per-frame, which records the
+        plan the next batch replays."""
+        cameras = list(cameras)
+        if not cameras or not self.fuse_plan:
+            return None
+        w, h = cameras[0].resolution
+        if any(tuple(c.resolution) != (w, h) for c in cameras):
+            return None
+        with self._render_lock:
+            import time as _time
+
+            from voxelhex_tpu.render.camera import camera_params
+
+            t_start = _time.time()
+            bgc = jnp.asarray(bg, dtype=F32)
+            R = w * h
+            spec = (self._beam_spec(cameras[0], with_rays=False)
+                    if beam_prepass else None)
+            if beam_prepass and spec is None:
+                return None
+            has_start = spec is not None
+            first_iters = self.beam_first_iters if has_start else None
+            plan_key = (R, has_start, 14, first_iters)
+            plan = self._plans.get(plan_key)
+            if plan is not None and not isinstance(plan, dict):
+                plan = {"pre": None, "rounds": plan}
+            if (plan is None or not plan.get("complete", True)
+                    or not plan.get("rounds")):
+                return None
+            entries = tuple(
+                (int(i), (int(b) if b is not None else None))
+                for i, b in plan["rounds"]
+            )
+            preb = (int(plan["pre"])
+                    if (plan.get("pre") and has_start) else None)
+            beam_key = spec["key"] if spec is not None else None
+            K = len(cameras)
+            fkey = (R, preb, entries, has_start, beam_key, (w, h),
+                    bool(out_u8), K, "batch")
+            if fkey not in self._fused_fns and (
+                    self._plan_streak.get(plan_key, 0) < 1
+                    or len(self._fused_fns) >= self.fuse_compile_cap):
+                return None  # plan not stable yet (or compile budget spent)
+            fn = self._fused_batch_fn(
+                R, preb, entries, has_start, beam_key, (w, h), bool(out_u8),
+                K,
+            )
+            stacked = [
+                jnp.stack(col)
+                for col in zip(*(camera_params(c) for c in cameras))
+            ]
+            if spec is not None:
+                rgbs, counts = fn(self.tree, spec["tree_b"], *stacked, bgc)
+            else:
+                rgbs, counts = fn(self.tree, *stacked, bgc)
+            counts_h = np.asarray(counts)  # ONE blocking read for K frames
+            rounds = pre = None
+            for k in range(K):
+                bad, rounds, pre, _tot = self._counts_verdict(
+                    counts_h[k], preb, entries, R
+                )
+                if bad:
+                    self._plans.pop(plan_key, None)
+                    return None  # caller re-renders per frame, re-plans
+            self._record_plan(plan_key, plan_from_rounds(rounds, pre=pre))
+            self.last_stats = {
+                "rays": int(R) * K,
+                "planned": True,
+                "fused": True,
+                "frame_fused": True,
+                "batched_frames": K,
+                "beam_fused": spec is not None,
+                "trace_seconds": round(_time.time() - t_start, 4),
+            }
+            rgbs = rgbs.reshape(K, h, w, 3)
+            return rgbs if out_device else np.asarray(rgbs)
 
     def _trace_fused(self, origins, directions, o, dv, st, plan_pre,
                      plan_rounds, shade_bg, plan_key, start_t, round_iters,
