@@ -134,20 +134,53 @@ def main():
         )
 
     # throughput over a pipelined batch: frame downloads overlap the next
-    # frame's compute (FramePipeline) — the reference's output likewise
-    # stays in a GPU texture consumed by the presentation pass rather than
-    # round-tripping per frame.  Best of 3 batches (tunnel variance).
+    # batch's compute — the reference's output likewise stays in a GPU
+    # texture consumed by the presentation pass rather than round-tripping
+    # per frame.  Frames go K-per-dispatch (render_many: the whole planned
+    # frame scanned over K camera-param rows) so the tunnel's ~70 ms
+    # per-dispatch + counts-RTT residual amortizes K-fold; falls back to
+    # the per-frame pipelined loop when the batch path declines.
+    from concurrent.futures import ThreadPoolExecutor
+
     from voxelhex_tpu.render.pipeline import FramePipeline
 
     pipe = FramePipeline(renderer)
-    N = 5
+    fetch_pool = ThreadPoolExecutor(max_workers=1)
+    K, NB = 4, 2  # frames per dispatch x dispatches per timed batch
 
-    def timed_batch():
+    # warm the batched program (one tunnel compile, persistent-cached)
+    batched_ok = renderer.render_many(
+        [cam] * K, out_u8=True, out_device=True, **mode_kw
+    ) is not None
+
+    def timed_batch_many():
+        t0 = time.time()
+        futs = []
+        for _ in range(NB):
+            dev = renderer.render_many(
+                [cam] * K, out_u8=True, out_device=True, **mode_kw
+            )
+            if dev is None:
+                return None  # plan churned: caller falls back
+            futs.append(fetch_pool.submit(np.asarray, dev))
+        for f in futs:
+            f.result()
+        return (time.time() - t0) / (NB * K)
+
+    def timed_batch_single():
+        N = 5
         t0 = time.time()
         futs = [pipe.render(cam, out_u8=True, **mode_kw) for _ in range(N)]
         for f in futs:
             f.result()
         return (time.time() - t0) / N
+
+    def timed_batch():
+        if batched_ok:
+            t = timed_batch_many()
+            if t is not None:
+                return t
+        return timed_batch_single()
 
     best = float("inf")
     if profile_dir:
@@ -159,8 +192,13 @@ def main():
     rays = RES[0] * RES[1]
     rays_per_sec = rays / best
 
-    # ---- forward+backward: one differentiable training step at 1080p
-    # (compacted multi-hit soft path — PERF.md "Forward+backward") ----
+    # ---- forward+backward: differentiable TRAINING STEPS at 1080p
+    # (compacted multi-hit soft path, now ONE dispatch per step: march +
+    # hit-compacted backward + optimizer update composed into a single
+    # program, steps chained device-side with no host sync — PERF.md
+    # "Forward+backward" / round-4 one-dispatch step) ----
+    import optax
+
     from voxelhex_tpu.diff.soft import SoftRenderer
     from voxelhex_tpu.render.camera import device_rays
 
@@ -169,34 +207,52 @@ def main():
     o_d = o_d.reshape(-1, 3)
     d_d = d_d.reshape(-1, 3)
     params = soft.init_params()
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
 
-    def fwdbwd_step(kw):
-        t0 = time.time()
-        c, voxels, _t = soft.trace_hits(o_d, d_d, compact=True, **kw)
-        # hit-compacted backward: no-hit (sky) rays carry exactly zero
-        # gradient, so the backward pass runs on the hit rays only —
-        # identical loss/grads (soft.grad_on_hits, parity-tested)
-        _loss, grads = soft.grad_on_hits(params, c, voxels, target)
-        jax.block_until_ready(grads["logits"])
-        return time.time() - t0
-
-    # warm: compiles trace rounds + the grad program; target from the scene
+    # target from the scene (stop-gradient composite of the traced hits)
     c_w, voxels_w, _t = soft.trace_hits(o_d, d_d, compact=True)
     voxels_w = jax.lax.stop_gradient(voxels_w)
     target = jax.lax.stop_gradient(soft.composite(params, voxels_w))
-    _l, _g = soft.grad_on_hits(params, c_w, voxels_w, target)
-    jax.block_until_ready(_g["logits"])
 
-    # beam prepass + round-0 compaction on the multi-hit march (same
-    # hit-mask-exact lever as the forward path, beam traced into the
-    # fused replay program): auto-select per session like the forward mode
+    NSTEP = 4
+
+    def fwdbwd_batch(kw):
+        """NSTEP chained one-dispatch training steps; per-step seconds.
+        Each step re-traces the march AND updates params (a full online
+        training step); steps enqueue back-to-back and the loop blocks
+        once on the last loss."""
+        p, s = params, opt_state
+        t0 = time.time()
+        loss = None
+        for _ in range(NSTEP):
+            p, s, loss = soft.train_step_fused(
+                p, s, opt, o_d, d_d, target, **kw
+            )
+        jax.block_until_ready(loss)
+        return (time.time() - t0) / NSTEP
+
+    # warm: step 1 records the march plan + backward bucket (adaptive,
+    # multi-dispatch), step 2 compiles + validates the fused step program
+    for _ in range(2):
+        _p, _s, _l = soft.train_step_fused(
+            params, opt_state, opt, o_d, d_d, target
+        )
+        jax.block_until_ready(_l)
+
+    # beam prepass + round-0 compaction on the multi-hit march (hit-mask
+    # exact, beam traced into the step program): auto-select per session
+    # like the forward mode
     bwd_kw = {}
     spec = soft.beam_spec(cam)
     if spec is not None:
-        soft.trace_hits(o_d, d_d, compact=True, beam=spec)  # warm + plan
-        soft.trace_hits(o_d, d_d, compact=True, beam=spec)  # fused warm
-        t_plain = min(fwdbwd_step({}) for _ in range(2))
-        t_beam = min(fwdbwd_step({"beam": spec}) for _ in range(2))
+        for _ in range(2):  # record beam plan, then compile fused beam step
+            _p, _s, _l = soft.train_step_fused(
+                params, opt_state, opt, o_d, d_d, target, beam=spec
+            )
+            jax.block_until_ready(_l)
+        t_plain = min(fwdbwd_batch({}) for _ in range(2))
+        t_beam = min(fwdbwd_batch({"beam": spec}) for _ in range(2))
         if t_beam < t_plain:
             bwd_kw = {"beam": spec}
         print(
@@ -204,7 +260,7 @@ def main():
             f"{t_beam*1e3:.0f} ms -> {'beam' if bwd_kw else 'plain'}",
             file=sys.stderr,
         )
-    best_bwd = min(fwdbwd_step(bwd_kw) for _ in range(3))
+    best_bwd = min(fwdbwd_batch(bwd_kw) for _ in range(3))
     rays_per_sec_bwd = rays / best_bwd
 
     # ---- record/compare against the repo's own first recorded numbers ----

@@ -479,3 +479,101 @@ def test_flat_albedo_bwd_grad_parity():
         np.asarray(gh_row["albedo"]), np.asarray(gh_flat["albedo"]),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def _step_scene():
+    tree = BoxTree(16, 4, auto_simplify=False)
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        p = tuple(int(v) for v in rng.integers(2, 14, 3))
+        tree.insert(p, RED if rng.integers(2) else GREEN)
+    return tree
+
+
+def test_train_step_fused_matches_recording_path():
+    """The ONE-dispatch training step (march + backward + L1 + optimizer
+    update + clamps in a single program) must match the multi-dispatch
+    recording path step-for-step over a short fit, including opacity_l1
+    and fit_albedo=False variants."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(32, 24))
+    o, d = device_rays(cam)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+
+    for kwargs in ({}, {"opacity_l1": 0.02}, {"fit_albedo": False}):
+        ra = SoftRenderer(tree, max_hits=2, max_iters=256)
+        rb = SoftRenderer(tree, max_hits=2, max_iters=256)
+        params_a = ra.init_params()
+        params_b = rb.init_params()
+        _c, voxels, _t = ra.trace_hits(o, d, compact=True)
+        target = jax.lax.stop_gradient(
+            ra.composite(params_a, jax.lax.stop_gradient(voxels))
+        )
+        opt = optax.adam(0.05)
+        sa = opt.init(params_a)
+        sb = opt.init(params_b)
+        losses_a, losses_b = [], []
+        for i in range(4):
+            # renderer A: always the recording (multi-dispatch) path
+            params_a, sa, la = ra._train_step_recording(
+                params_a, sa, opt, o, d, target, None,
+                kwargs.get("opacity_l1", 0.0),
+                kwargs.get("fit_albedo", True),
+            )
+            # renderer B: train_step_fused (records on step 1, fused after)
+            params_b, sb, lb = rb.train_step_fused(
+                params_b, sb, opt, o, d, target, **kwargs
+            )
+            losses_a.append(float(la))
+            losses_b.append(float(lb))
+        assert rb._step_validated is not None  # the fused program ran
+        np.testing.assert_allclose(losses_a, losses_b, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(params_a["logits"]), np.asarray(params_b["logits"]),
+            rtol=1e-6, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(params_a["albedo"]), np.asarray(params_b["albedo"]),
+            rtol=1e-6, atol=1e-7,
+        )
+
+
+def test_train_step_fused_with_beam():
+    """train_step_fused with the beam prepass traced in matches the plain
+    fused step's losses/params (the beam is hit-mask exact)."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(64, 48))
+    o, d = device_rays(cam)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    r1 = SoftRenderer(tree, max_hits=2, max_iters=256)
+    r2 = SoftRenderer(tree, max_hits=2, max_iters=256)
+    spec = r2.beam_spec(cam)
+    if spec is None:
+        return  # geometry can't satisfy the beam bound; nothing to test
+    params = r1.init_params()
+    _c, voxels, _t = r1.trace_hits(o, d, compact=True)
+    target = jax.lax.stop_gradient(
+        r1.composite(params, jax.lax.stop_gradient(voxels))
+    )
+    opt = optax.adam(0.05)
+    p1, s1 = params, opt.init(params)
+    p2, s2 = params, opt.init(params)
+    for _ in range(3):
+        p1, s1, l1 = r1.train_step_fused(p1, s1, opt, o, d, target)
+        p2, s2, l2 = r2.train_step_fused(p2, s2, opt, o, d, target,
+                                         beam=spec)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p1["logits"]), np.asarray(p2["logits"]),
+        rtol=1e-6, atol=1e-7,
+    )

@@ -191,6 +191,9 @@ class SoftRenderer:
         self._hit_step = jax.jit(_hit_step)
         self._soft_plans = {}
         self._fused_hits_fns = {}
+        self._step_fns = {}  # ONE-dispatch training-step programs
+        self._finish_fns = {}  # recording path's jitted update tails
+        self._step_validated = None  # last validated (plan, rays) pair
 
     def init_params(self, init_opacity: float = 0.99):
         """Dense albedo [S^3, 3] + opacity logits [S^3] from the scene."""
@@ -353,6 +356,47 @@ class SoftRenderer:
         count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
         return count, voxels, dists
 
+    def _hits_body(self, R, entries, pre):
+        """TRACEABLE planned multi-hit march body ``build(tree, o, d, st)
+        -> (count, voxels, dists, counts)`` — shared by the fused hits
+        replay (:meth:`_run_fused_hits`) and the ONE-dispatch training
+        step (:meth:`train_step_fused`)."""
+        r = self._ensure_compact_renderer()
+        trace = r._trace
+        raw = r._raw_fns
+        hit_step = self._hit_step_raw
+        K = self.max_hits
+
+        def build(tree, o, d, st):
+            voxels = jnp.full((R, K, 3), -1, dtype=I32)
+            dists = jnp.full((R, K), jnp.inf, dtype=F32)
+            state = trace.init(tree, o, d, st)
+            orig = jnp.arange(R, dtype=I32)
+            cursor = jnp.zeros(R, dtype=I32)
+            counts = []
+            if pre is not None:
+                # planned round-0 compaction: alive count joins the
+                # batched fetch, no separate blocking read
+                counts.append(jnp.sum(state[10].astype(I32)))
+                p = raw["perm"](state[10], pre)
+                state, orig = raw["apply_perm"](state, orig, p)
+                cursor = cursor[p]
+            for iters, bucket in entries:
+                state, _n = trace.run(tree, state, iters)
+                voxels, dists, cursor, state, n_live = hit_step(
+                    voxels, dists, state, orig, cursor, o
+                )
+                counts.append(n_live.astype(I32))
+                cur = state[0].shape[0]
+                if bucket is not None and bucket < cur:
+                    perm = raw["perm"](state[10], bucket)
+                    state, orig = raw["apply_perm"](state, orig, perm)
+                    cursor = cursor[perm]
+            count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
+            return count, voxels, dists, jnp.stack(counts)
+
+        return build
+
     def _run_fused_hits(self, o, d, R, plan, start_t=None, beam=None):
         """Execute a recorded multi-hit schedule as one jitted program —
         including the beam prepass and round-0 compaction when the plan
@@ -370,39 +414,8 @@ class SoftRenderer:
         fn = self._fused_hits_fns.get(key)
         if fn is None:
             r = self._compact_renderer
-            trace = r._trace
-            raw = r._raw_fns
-            hit_step = self._hit_step_raw
-            K = self.max_hits
             beam_body = r._beam_body(*beam_key) if beam_key else None
-
-            def build(tree, o, d, st):
-                voxels = jnp.full((R, K, 3), -1, dtype=I32)
-                dists = jnp.full((R, K), jnp.inf, dtype=F32)
-                state = trace.init(tree, o, d, st)
-                orig = jnp.arange(R, dtype=I32)
-                cursor = jnp.zeros(R, dtype=I32)
-                counts = []
-                if pre is not None:
-                    # planned round-0 compaction: alive count joins the
-                    # batched fetch, no separate blocking read
-                    counts.append(jnp.sum(state[10].astype(I32)))
-                    p = raw["perm"](state[10], pre)
-                    state, orig = raw["apply_perm"](state, orig, p)
-                    cursor = cursor[p]
-                for iters, bucket in entries:
-                    state, _n = trace.run(tree, state, iters)
-                    voxels, dists, cursor, state, n_live = hit_step(
-                        voxels, dists, state, orig, cursor, o
-                    )
-                    counts.append(n_live.astype(I32))
-                    cur = state[0].shape[0]
-                    if bucket is not None and bucket < cur:
-                        perm = raw["perm"](state[10], bucket)
-                        state, orig = raw["apply_perm"](state, orig, perm)
-                        cursor = cursor[perm]
-                count = jnp.sum(voxels[:, :, 0] >= 0, axis=1)
-                return count, voxels, dists, jnp.stack(counts)
+            build = self._hits_body(R, entries, pre)
 
             if beam_key is not None:
                 fn = jax.jit(
@@ -442,6 +455,195 @@ class SoftRenderer:
             self._soft_plans.pop(plan_key, None)
             return None  # live stragglers the plan didn't cover
         return count, voxels, dists
+
+    # ------------------------------------------------------------------
+    # ONE-dispatch training step (VERDICT r3 #1): trace + backward + update
+
+    def _make_step_fn(self, R, entries, pre, has_start, beam_key, bucket,
+                      opt, opacity_l1, fit_albedo, with_update):
+        """Compose the planned multi-hit march (:meth:`_hits_body`), the
+        hit-compacted backward (:meth:`_make_grad_fn`), the opacity-L1
+        term, and (``with_update``) the optimizer update + param clamps
+        into ONE traceable program.  Outputs carry the march's straggler
+        counts and the backward's hit count so plan validation needs no
+        extra dispatch."""
+        import optax
+
+        build = self._hits_body(R, entries, pre)
+        grad_f = self._make_grad_fn(R, bucket, with_count=True)
+        r = self._compact_renderer
+        beam_body = r._beam_body(*beam_key) if beam_key else None
+
+        def step(tree, params, opt_state, o, d, st, target):
+            count, voxels, _dists, counts = build(tree, o, d, st)
+            voxels = jax.lax.stop_gradient(voxels)
+            mask = count > 0
+            loss, grads, nh = grad_f(params, mask, voxels, target)
+            if opacity_l1:
+                l1_loss, l1_grads = jax.value_and_grad(
+                    lambda p: opacity_l1
+                    * jnp.mean(jax.nn.sigmoid(p["logits"]))
+                )(params)
+                grads = jax.tree.map(jnp.add, grads, l1_grads)
+                loss = loss + l1_loss
+            if not fit_albedo:
+                grads = dict(grads, albedo=jnp.zeros_like(grads["albedo"]))
+            if not with_update:
+                return loss, grads, counts, nh
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            params = {
+                "albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+                "logits": jnp.clip(params["logits"], -12.0, 12.0),
+            }
+            return params, opt_state, loss, counts, nh
+
+        if beam_key is not None:
+            return jax.jit(
+                lambda tree, tree_b, params, opt_state, o, d, o_b, d_b,
+                target: step(
+                    tree, params, opt_state, o, d,
+                    beam_body(tree_b, o_b, d_b), target,
+                )
+            )
+        if has_start:
+            return jax.jit(step)
+        return jax.jit(
+            lambda tree, params, opt_state, o, d, target: step(
+                tree, params, opt_state, o, d, None, target
+            )
+        )
+
+    def _finish_step_fn(self, opt, opacity_l1, fit_albedo):
+        """Jitted L1 + optimizer update + clamps — the recording path's
+        tail, numerically identical to the fused step's."""
+        key = (id(opt), float(opacity_l1), bool(fit_albedo))
+        fn = self._finish_fns.get(key)
+        if fn is None:
+            import optax
+
+            @jax.jit
+            def fin(params, opt_state, loss, grads):
+                if opacity_l1:
+                    l1_loss, l1_grads = jax.value_and_grad(
+                        lambda p: opacity_l1
+                        * jnp.mean(jax.nn.sigmoid(p["logits"]))
+                    )(params)
+                    grads = jax.tree.map(jnp.add, grads, l1_grads)
+                    loss = loss + l1_loss
+                if not fit_albedo:
+                    grads = dict(
+                        grads, albedo=jnp.zeros_like(grads["albedo"])
+                    )
+                updates, opt_state = opt.update(grads, opt_state)
+                params = optax.apply_updates(params, updates)
+                params = {
+                    "albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+                    "logits": jnp.clip(params["logits"], -12.0, 12.0),
+                }
+                return params, opt_state, loss
+
+            self._finish_fns[key] = fn = fin
+        return fn
+
+    def _train_step_recording(self, params, opt_state, opt, o, d, target,
+                              beam, opacity_l1, fit_albedo):
+        """Adaptive multi-dispatch step used while plans record (or after
+        an overflow); records the march schedule and the backward bucket
+        that the fused step replays.  Numerically identical to the fused
+        step (same per-ray math, same update)."""
+        count, voxels, _dists = self.trace_hits(o, d, compact=True,
+                                                beam=beam)
+        voxels = jax.lax.stop_gradient(voxels)
+        loss, grads = self.grad_on_hits(params, count, voxels, target)
+        fin = self._finish_step_fn(opt, opacity_l1, fit_albedo)
+        return fin(params, opt_state, loss, grads)
+
+    def train_step_fused(self, params, opt_state, opt, origins, dirs,
+                         target, beam=None, opacity_l1: float = 0.0,
+                         fit_albedo: bool = True, validate=None):
+        """ONE-dispatch training step: the planned multi-hit march (with
+        the beam prepass traced in when ``beam`` is a :meth:`beam_spec`
+        dict), the hit-compacted backward, the opacity-L1 term, the
+        optimizer update and the param clamps run as a single jitted
+        program — one tunnel dispatch per step instead of the
+        trace + grad two-dispatch shape (each dispatch costs a host
+        round-trip through the axon relay; PERF.md "fwd+bwd").
+
+        Returns ``(params, opt_state, loss)`` as DEVICE values, so a
+        training loop chains steps with no host synchronization — enqueue
+        N steps back-to-back and block once at the end (the loss array,
+        when fetched, carries the step's completion).
+
+        Exactness: while the plans are still recording the step runs the
+        adaptive multi-dispatch path (identical math).  Plan validity
+        (compaction-bucket overflows, leftover stragglers, backward-bucket
+        overflow) is checked from the program's own count outputs the
+        FIRST time each (plan, rays-object) pair is seen; later steps skip
+        that blocking read because the march is deterministic in
+        (tree, rays) — identical inputs reproduce the validated counts
+        exactly.  Pass ``validate=True`` to force the check (e.g. after
+        swapping ray batches that alias a previous object's id).  On
+        overflow the plans drop and the step recomputes adaptively, so
+        returned values are always exact."""
+        token = (id(origins), id(dirs),
+                 beam["key"] if beam is not None else None)
+        o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
+        d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
+        target = jnp.asarray(target, dtype=F32).reshape(-1, 3)
+        R = o.shape[0]
+        has_start = beam is not None
+        plan_key = (R, has_start)
+        plan = self._soft_plans.get(plan_key)
+        bucket = self._grad_plans.get(R)
+        if plan is None or bucket is None:
+            return self._train_step_recording(
+                params, opt_state, opt, o, d, target, beam, opacity_l1,
+                fit_albedo,
+            )
+        entries = tuple(plan["rounds"])
+        pre = plan.get("pre") if has_start else None
+        beam_key = beam["key"] if beam is not None else None
+        fkey = (R, entries, pre, has_start, beam_key, bucket, id(opt),
+                float(opacity_l1), bool(fit_albedo))
+        fn = self._step_fns.get(fkey)
+        if fn is None:
+            fn = self._make_step_fn(
+                R, entries, pre, has_start, beam_key, bucket, opt,
+                opacity_l1, fit_albedo, with_update=True,
+            )
+            self._step_fns[fkey] = fn
+        tree = self._compact_renderer.tree
+        if beam is not None:
+            out = fn(tree, beam["tree_b"], params, opt_state, o, d,
+                     beam["o_b"], beam["d_b"], target)
+        else:
+            out = fn(tree, params, opt_state, o, d, target)
+        new_params, new_opt_state, loss, counts, nh = out
+        vkey = (fkey, token)
+        if validate or (validate is None and self._step_validated != vkey):
+            counts_h = np.asarray(counts)  # the one blocking read
+            bad = int(counts_h[-1]) != 0
+            k = 0
+            if pre is not None:
+                k = 1
+                if int(counts_h[0]) > pre:
+                    bad = True
+            for i, (_iters, b) in enumerate(entries):
+                if b is not None and int(counts_h[k + i]) > b:
+                    bad = True
+            if bucket < R and int(np.asarray(nh)) > bucket:
+                bad = True
+            if bad:
+                self._soft_plans.pop(plan_key, None)
+                self._grad_plans.pop(R, None)
+                self._step_validated = None
+                return self._train_step_recording(
+                    params, opt_state, opt, o, d, target, beam,
+                    opacity_l1, fit_albedo,
+                )
+            self._step_validated = vkey
+        return new_params, new_opt_state, loss
 
     def grad_on_hits(self, params, count, voxels, target,
                      min_bucket: int = 8192, shrink: int = 4):
