@@ -300,3 +300,92 @@ def test_diff_flat_albedo_bwd_grad_parity(small_scene, rays):
         np.asarray(g_flat), np.asarray(g_row), rtol=1e-6, atol=1e-7
     )
     assert float(np.abs(np.asarray(g_flat)).sum()) > 0
+
+
+def test_sharded_soft_e2e_trace_and_fit(small_scene):
+    """VERDICT r3 #2: the soft forward trace runs ON the mesh — per-shard
+    device raygen + per-shard multi-hit march.  The sharded trace must
+    equal the single-device trace_hits, fit_soft_sharded(camera=...) must
+    reproduce the single-device fit_soft losses/params, and the e2e
+    online step (trace + grad + update in one sharded program) must match
+    the single-device online step."""
+    from voxelhex_tpu.diff.soft import SoftRenderer, fit_soft
+    from voxelhex_tpu.parallel.soft import (
+        fit_soft_sharded,
+        sharded_soft_train_step_e2e,
+        sharded_soft_trace_fn,
+    )
+    from voxelhex_tpu.render.camera import camera_params, device_rays
+
+    cam = orbit_camera(small_scene.size, resolution=(40, 32))  # 32 rows / 8
+    mesh = make_ray_mesh()
+    soft = SoftRenderer(small_scene, max_hits=2, max_iters=256)
+
+    # sharded trace == single-device trace (device raygen on both sides)
+    o_d, d_d = device_rays(cam)
+    c1, v1, t1 = soft.trace_hits(o_d.reshape(-1, 3), d_d.reshape(-1, 3))
+    tr = sharded_soft_trace_fn(soft, mesh, cam.resolution)
+    c2, v2, t2 = tr(soft.tree, *camera_params(cam))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    params0 = soft.init_params()
+    target = np.asarray(soft.composite(params0, jax.lax.stop_gradient(v1)))
+    init = {
+        "albedo": jnp.clip(params0["albedo"] + 0.25, 0.0, 1.0),
+        "logits": params0["logits"] * 0.5,
+    }
+    o_h = np.asarray(o_d).reshape(-1, 3)
+    d_h = np.asarray(d_d).reshape(-1, 3)
+    ref_params, ref_losses = fit_soft(
+        soft, o_h, d_h, target, steps=3, lr=0.05,
+        params0=jax.tree.map(jnp.array, init), opacity_l1=0.01,
+    )
+    # camera-driven fit: trace sharded on the mesh, no host rays at all
+    pw, lw = fit_soft_sharded(
+        soft, mesh, None, None, target, steps=3, lr=0.05,
+        params0=jax.tree.map(jnp.array, init), opacity_l1=0.01, camera=cam,
+    )
+    np.testing.assert_allclose(lw, ref_losses, rtol=1e-5)
+    for k in ref_params:
+        np.testing.assert_allclose(
+            np.asarray(pw[k]), np.asarray(ref_params[k]), atol=1e-5
+        )
+
+    # e2e ONLINE step (trace + grad + update, one sharded program)
+    opt = optax.adam(0.05)
+    estep = sharded_soft_train_step_e2e(
+        soft, mesh, opt, cam.resolution, opacity_l1=0.01
+    )
+    from voxelhex_tpu.parallel.render import shard_rays
+
+    (t_sh,), _ = shard_rays(mesh, target)
+    p = jax.tree.map(jnp.array, init)
+    s = opt.init(p)
+    losses = []
+    for _ in range(2):
+        p, s, loss = estep(soft.tree, p, s, *camera_params(cam), t_sh)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, ref_losses[:2], rtol=1e-5)
+
+
+def test_render_sharded_device_raygen(small_scene):
+    """render_sharded with per-shard device raygen matches the host-ray
+    sharded frame and the single-device render."""
+    from voxelhex_tpu.parallel.bitgrid_sharded import render_sharded
+    from voxelhex_tpu.render.bitgrid import BitGridRenderer
+
+    r = BitGridRenderer(small_scene, max_iters=256)
+    mesh = make_ray_mesh()
+    cam = orbit_camera(small_scene.size, resolution=(40, 32))
+    single = r.render(cam)
+    out = render_sharded(r, cam, mesh)
+    np.testing.assert_allclose(out, single, atol=1e-5)
+    assert any(
+        len(k) == 3 for k in r._sharded_cam_fns
+    )  # the cam-variant (device raygen) path ran
+    # non-dividing rows: host-ray fallback, still exact
+    cam2 = orbit_camera(small_scene.size, resolution=(40, 30))
+    np.testing.assert_allclose(
+        render_sharded(r, cam2, mesh), r.render(cam2), atol=1e-5
+    )

@@ -88,3 +88,28 @@ def test_sharded_streaming_multi_ring_matches_single_device():
     np.testing.assert_allclose(sharded, single, atol=1e-5)
     nz = np.any(single != 0.0, axis=-1)
     assert nz.sum() >= 3  # ring content visible in both renders
+
+
+def test_sharded_streaming_uses_device_raygen():
+    """When rows divide the mesh, the frame's host->device traffic is
+    camera params only — the cam-variant shard fn is cached (and the
+    host-ray fallback engages when rows don't divide)."""
+    tree = BoxTree(64, 4, auto_simplify=False)
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        p = tuple(int(v) for v in rng.integers(0, 64, 3))
+        tree.insert(p, RED)
+    view = StreamingView(tree, view_size=64, regions_per_update=4096)
+    mesh = _mesh()
+    cam = orbit_camera(64.0, resolution=(40, 24))  # 24 rows / 8 devices
+    single = np.asarray(view.render(cam))
+    out = render_streaming_sharded(view, cam, mesh)
+    np.testing.assert_allclose(out, single, atol=1e-5)
+    keys = list(view._sharded_stream_fns)
+    assert any(len(k) == 5 and k[-1] == "cam" for k in keys)
+
+    # 30 rows don't divide 8 devices -> host-ray fallback, still exact
+    cam2 = orbit_camera(64.0, resolution=(40, 30))
+    single2 = np.asarray(view.render(cam2))
+    out2 = render_streaming_sharded(view, cam2, mesh)
+    np.testing.assert_allclose(out2, single2, atol=1e-5)

