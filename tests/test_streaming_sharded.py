@@ -65,14 +65,16 @@ def test_sharded_streaming_window_only_matches_single_device():
 
 
 def test_sharded_streaming_multi_ring_matches_single_device():
-    """Two far rings (factors 16 and 64 at 1024^3/view 32): the sharded
-    tier loop must fold every ring identically to the single-device path."""
+    """Three far rings (factors 4, 16, 64 at 1024^3/view 32 — the round-4
+    4x-per-level ladder): the sharded tier loop must fold every ring
+    identically to the single-device path."""
     from voxelhex_tpu.render.camera import Camera
 
     tree = BoxTree(1024, 4, auto_simplify=True)
     tree.insert_at_lod((16, 16, 16), 8, RED)      # window content
-    tree.insert_at_lod((224, 16, 224), 16, GREEN)  # ring 1 (F16)
-    tree.insert_at_lod((896, 16, 896), 64, BLUE)   # ring 2 (F64)
+    tree.insert_at_lod((96, 16, 96), 4, RED)       # ring 1 (F4)
+    tree.insert_at_lod((224, 16, 224), 16, GREEN)  # ring 2 (F16)
+    tree.insert_at_lod((896, 16, 896), 64, BLUE)   # ring 3 (F64)
     view = StreamingView(tree, view_size=32, regions_per_update=4096)
     cam = Camera(
         origin=np.array([28.0, 30.0, 28.0], dtype=np.float32),
@@ -82,7 +84,8 @@ def test_sharded_streaming_multi_ring_matches_single_device():
         resolution=(64, 32),
     )
     single = np.asarray(view.render(cam))
-    assert view.far is not None and len(view.far.tiers) == 2
+    assert view.far is not None and len(view.far.tiers) == 3
+    assert [t.factor for t in view.far.tiers] == [4, 16, 64]
 
     sharded = render_streaming_sharded(view, cam, _mesh())
     np.testing.assert_allclose(sharded, single, atol=1e-5)
