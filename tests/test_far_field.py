@@ -304,3 +304,60 @@ def test_midfield_ring_gives_4x_falloff_at_window_edge():
     cell = (np.asarray(p) - t0.world_box()[0]) // t0.factor
     assert t0._occ[tuple(cell)]
     assert t0._occ[tuple(cell + [1, 0, 0])]
+
+
+def test_async_far_refresh_converges_to_sync():
+    """async_far: ring rebuilds run in a worker while old rings serve
+    frames; once the build drains and swaps, frames must equal the
+    synchronous-refresh view exactly — across a window-moving flight AND
+    after an edit (generation-tagged stale builds dropped)."""
+    import time as _time
+
+    W, S = 1024, 256
+    def make_tree():
+        t = BoxTree(W, 4, auto_simplify=True)
+        t.insert_at_lod((16, 16, 16), 16, Albedo(200, 40, 40, 255))
+        t.insert_at_lod((640, 0, 640), 128, Albedo(40, 200, 40, 255))
+        return t
+
+    vs = StreamingView(make_tree(), view_size=S, regions_per_update=4096)
+    va = StreamingView(make_tree(), view_size=S, regions_per_update=4096,
+                       async_far=True)
+
+    def settle(view, cam):
+        """Render until the async far job (if any) has drained and a
+        final render swapped the result in."""
+        frame = view.render(cam)
+        if view.far is None or not view.async_far:
+            return np.asarray(frame)
+        for _ in range(100):
+            job = view.far._job
+            if job is None:
+                break
+            job[0].result()  # wait for the worker build
+            frame = view.render(cam)  # swap + (maybe) resubmit
+        return np.asarray(view.render(cam))
+
+    # initial frame (first async frame falls back to a sync build)
+    cam1 = _camera((28.0, 40.0, 28.0), (40.0, 36.0, 40.0), res=(48, 36))
+    f_s = np.asarray(vs.render(cam1))
+    f_a = settle(va, cam1)
+    np.testing.assert_array_equal(f_a, f_s)
+
+    # fly: the window moves, holes shift, rings re-anchor
+    cam2 = _camera((500.0, 40.0, 500.0), (512.0, 36.0, 512.0), res=(48, 36))
+    for _ in range(3):
+        vs.render(cam2)
+        va.render(cam2)
+    f_s = np.asarray(vs.render(cam2))
+    f_a = settle(va, cam2)
+    np.testing.assert_array_equal(f_a, f_s)
+
+    # edit far content: the async build is generation-tagged; after the
+    # swap the new pillar must be visible identically
+    for v in (vs, va):
+        v.tree.insert_at_lod((640, 256, 640), 64, Albedo(40, 40, 200, 255))
+    f_s = np.asarray(vs.render(cam2))
+    f_a = settle(va, cam2)
+    np.testing.assert_array_equal(f_a, f_s)
+    va.close()
