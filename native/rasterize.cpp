@@ -247,6 +247,57 @@ void rasterize_window(const uint32_t* node_meta, const int32_t* node_children,
     }
 }
 
+// Batched region rasterize + occupancy-word pack for the streaming layer:
+// K rsize^3 windows in ONE call — one ctypes crossing (and one GIL release)
+// covers a whole paging batch, where the per-region path paid a Python
+// submit + ctypes call + numpy packing per region (the async-upload
+// worker's contention source on the fly-over).  Each region's dense grid
+// is also folded into its 4^3-block 64-bit occupancy words in the same
+// pass (bit s = cx + 4*cy + 16*cz, x-fastest block order — bit-identical
+// to render/bitgrid._pack_bits).
+void rasterize_regions(const uint32_t* node_meta, const int32_t* node_children,
+                       const int32_t* bricks, int32_t n_nodes, int32_t n_bricks,
+                       int32_t brick_dim, int32_t S,
+                       const int32_t* corners /*[k,3] world voxels*/,
+                       int32_t k, int32_t rsize,
+                       uint8_t* occ /*[k, rsize^3]*/,
+                       uint16_t* colors /*[k, rsize^3]*/,
+                       uint32_t* lo /*[k, (rsize/4)^3]*/, uint32_t* hi) {
+    const int64_t r3 = (int64_t)rsize * rsize * rsize;
+    const int32_t n = rsize / 4;
+    const int64_t n3 = (int64_t)n * n * n;
+    for (int32_t i = 0; i < k; ++i) {
+        uint8_t* o = occ + i * r3;
+        uint16_t* c = colors + i * r3;
+        std::memset(o, 0, (size_t)r3);
+        for (int64_t j = 0; j < r3; ++j) c[j] = COLOR_EMPTY;
+        const int32_t* cr = corners + 3 * i;
+        if (cr[0] < S && cr[1] < S && cr[2] < S)
+            rasterize_window(node_meta, node_children, bricks, n_nodes,
+                             n_bricks, brick_dim, S, cr[0], cr[1], cr[2],
+                             rsize, o, c);
+        uint32_t* pl = lo + i * n3;
+        uint32_t* ph = hi + i * n3;
+        std::memset(pl, 0, (size_t)n3 * 4);
+        std::memset(ph, 0, (size_t)n3 * 4);
+        for (int32_t z = 0; z < rsize; ++z)
+            for (int32_t y = 0; y < rsize; ++y) {
+                const uint8_t* row =
+                    o + (int64_t)y * rsize + (int64_t)z * rsize * rsize;
+                const int64_t wbase =
+                    (int64_t)(y >> 2) * n + (int64_t)(z >> 2) * n * n;
+                const int sbase = 4 * (y & 3) + 16 * (z & 3);
+                for (int32_t x = 0; x < rsize; ++x) {
+                    if (!row[x]) continue;
+                    int s = (x & 3) + sbase;
+                    int64_t w = (x >> 2) + wbase;
+                    if (s < 32) pl[w] |= 1u << s;
+                    else ph[w] |= 1u << (s - 32);
+                }
+            }
+    }
+}
+
 // Rasterize a REGION^3 window from dense source coordinates: helper for the
 // streaming layer — copies with bounds clipping from a source grid.
 void copy_region(const uint8_t* src_occ, const uint16_t* src_col, int32_t S,

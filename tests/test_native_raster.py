@@ -142,3 +142,44 @@ def test_copy_region_matches_numpy():
                         exp_col[dz, dy, dx] = col[sz, sy, sx]
         assert np.array_equal(dst_occ.reshape(W, W, W), exp_occ), (x0, y0, z0)
         assert np.array_equal(dst_col.reshape(W, W, W), exp_col), (x0, y0, z0)
+
+
+def test_rasterize_regions_matches_window_and_pack():
+    """The batched region rasterize+pack (one native call per chunk — the
+    streaming paging hot path) must be bit-identical to per-region
+    rasterize_window + _pack_bits, including out-of-bounds corners."""
+    from voxelhex_tpu import native
+    from voxelhex_tpu.render.bitgrid import _pack_bits
+
+    from voxelhex_tpu.tree.boxtree import Albedo, BoxTree
+    from voxelhex_tpu.tree.flat import flatten
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    t = BoxTree(64, 4, auto_simplify=False)
+    for _ in range(400):
+        p = tuple(int(v) for v in rng.integers(0, 64, 3))
+        t.insert(p, Albedo(int(rng.integers(1, 255)), 90, 40, 255))
+    t.insert_at_lod((16, 16, 16), 16, Albedo(10, 200, 30, 255))
+    flat = flatten(t)
+    R = 16
+    corners = np.array(
+        [[0, 0, 0], [16, 32, 48], [48, 48, 48], [60, 0, 0], [64, 0, 0]],
+        dtype=np.int32,
+    )
+    occ, col, lo, hi = native.rasterize_regions(flat, corners, R)
+    for i, c in enumerate(corners):
+        if (c < 64).all():
+            ref_occ, ref_col = native.rasterize_window(
+                flat, int(c[0]), int(c[1]), int(c[2]), R
+            )
+        else:
+            ref_occ = np.zeros(R**3, np.uint8)
+            ref_col = np.full(R**3, 0xFFFF, np.uint16)
+        np.testing.assert_array_equal(occ[i], ref_occ)
+        np.testing.assert_array_equal(col[i], ref_col)
+        g = occ[i].reshape(R, R, R).transpose(2, 1, 0) != 0  # [x, y, z]
+        plo, phi, _ = _pack_bits(g)
+        np.testing.assert_array_equal(lo[i], plo)
+        np.testing.assert_array_equal(hi[i], phi)

@@ -53,6 +53,11 @@ def load():
     lib.rasterize_window.restype = None
     lib.pack_level.argtypes = [u8p, i32, u32p, u32p, u8p]
     lib.pack_level.restype = None
+    lib.rasterize_regions.argtypes = [
+        u32p, i32p, i32p, i32, i32, i32, i32, i32p, i32, i32,
+        u8p, u16p, u32p, u32p,
+    ]
+    lib.rasterize_regions.restype = None
     lib.copy_region.argtypes = [u8p, u16p, i32, i32, i32, i32, i32, u8p, u16p]
     lib.copy_region.restype = None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -147,6 +152,39 @@ def pack_pyramid(occ_flat: np.ndarray, S: int):
         grid = coarse
         c = n
     return levels_lo, levels_hi
+
+
+def rasterize_regions(flat, corners: np.ndarray, rsize: int):
+    """K ``rsize^3`` windows rasterized AND packed into 4^3-block occupancy
+    words in ONE native call (one GIL release for the whole batch — the
+    streaming layer's paging hot path).  ``corners`` is [K, 3] world
+    voxel corners.  Returns ``(occ u8 [K, r^3], colors u16 [K, r^3],
+    lo u32 [K, (r/4)^3], hi u32 [K, (r/4)^3])`` — dense grids x-fastest
+    per region, words bit-identical to ``_pack_bits`` — or None when the
+    native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    corners = np.ascontiguousarray(corners, dtype=np.int32)
+    K = corners.shape[0]
+    r3 = rsize * rsize * rsize
+    n3 = (rsize // 4) ** 3
+    occ = np.empty(K * r3, dtype=np.uint8)
+    colors = np.empty(K * r3, dtype=np.uint16)
+    lo = np.empty(K * n3, dtype=np.uint32)
+    hi = np.empty(K * n3, dtype=np.uint32)
+    meta = np.ascontiguousarray(flat.node_meta, dtype=np.uint32)
+    children = np.ascontiguousarray(flat.node_children, dtype=np.int32)
+    bricks = np.ascontiguousarray(flat.bricks, dtype=np.int32)
+    lib.rasterize_regions(
+        meta, children, bricks,
+        np.int32(meta.shape[0]), np.int32(bricks.shape[0]),
+        np.int32(flat.brick_dim), np.int32(flat.size),
+        corners.reshape(-1), np.int32(K), np.int32(rsize),
+        occ, colors, lo, hi,
+    )
+    return (occ.reshape(K, r3), colors.reshape(K, r3),
+            lo.reshape(K, n3), hi.reshape(K, n3))
 
 
 def rasterize_window(flat, wx: int, wy: int, wz: int, wsize: int):
