@@ -577,3 +577,64 @@ def test_train_step_fused_with_beam():
         np.asarray(p1["logits"]), np.asarray(p2["logits"]),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_flat_params_layout_matches_row_layout():
+    """flat_params=True (end-to-end [S^3*3] albedo: composite, VJP,
+    optimizer, clamps) must produce bit-identical losses and gradients to
+    the row layout — grads related by ravel() — across grad_on_hits AND
+    a short train_step_fused fit."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(32, 24))
+    o, d = device_rays(cam)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+
+    r_row = SoftRenderer(tree, max_hits=2, max_iters=256)
+    r_flat = SoftRenderer(tree, max_hits=2, max_iters=256, flat_params=True)
+    p_row = r_row.init_params()
+    p_flat = r_flat.init_params()
+    np.testing.assert_array_equal(
+        np.asarray(p_row["albedo"]).ravel(), np.asarray(p_flat["albedo"])
+    )
+
+    c, voxels, _t = r_row.trace_hits(o, d, compact=True)
+    voxels = jax.lax.stop_gradient(voxels)
+    target = jax.lax.stop_gradient(r_row.composite(p_row, voxels))
+
+    # composite parity
+    np.testing.assert_array_equal(
+        np.asarray(r_row.composite(p_row, voxels)),
+        np.asarray(r_flat.composite(p_flat, voxels)),
+    )
+    # grads: flat == row.ravel(), bit-exact
+    l1, g1 = r_row.grad_on_hits(p_row, c, voxels, target)
+    c2, voxels2, _t2 = r_flat.trace_hits(o, d, compact=True)
+    l2, g2 = r_flat.grad_on_hits(p_flat, c2, voxels2, target)
+    assert float(l1) == float(l2)
+    np.testing.assert_array_equal(
+        np.asarray(g1["albedo"]).ravel(), np.asarray(g2["albedo"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g1["logits"]), np.asarray(g2["logits"])
+    )
+
+    # short fused-step fit: losses and params stay identical
+    opt = optax.adam(0.05)
+    s_row, s_flat = opt.init(p_row), opt.init(p_flat)
+    for _ in range(3):
+        p_row, s_row, lr_ = r_row.train_step_fused(
+            p_row, s_row, opt, o, d, target, opacity_l1=0.01
+        )
+        p_flat, s_flat, lf_ = r_flat.train_step_fused(
+            p_flat, s_flat, opt, o, d, target, opacity_l1=0.01
+        )
+        np.testing.assert_allclose(float(lr_), float(lf_), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(p_row["albedo"]).ravel(), np.asarray(p_flat["albedo"]),
+        rtol=1e-6, atol=1e-7,
+    )

@@ -72,6 +72,39 @@ def _gather_rows_flatbwd_bwd(res, g):
 _gather_rows_flatbwd.defvjp(_gather_rows_flatbwd_fwd, _gather_rows_flatbwd_bwd)
 
 
+@jax.custom_vjp
+def _gather_rows_flat_params(albedo_flat, addr):
+    """Row gather from a FLAT [N*3] albedo with a flat backward.
+
+    The end-to-end flat layout (PERF.md "soft backward scatter layout",
+    VERDICT r3 next #6): with params stored flat, the VJP scatter-adds
+    into [N*3] and returns it AS the gradient — the [3N]->[N,3] reshape
+    copy of the ~200 MB cotangent that `_gather_rows_flatbwd` still pays
+    (the priced ~60 ms/step residual) disappears, because the optimizer,
+    clamps, checkpoint and sharding all consume the flat array directly.
+    Forward is ``albedo_flat.reshape(-1, 3)[addr]`` — the reshape is a
+    row-major view (element (i, c) at i*3+c), so the fast [R, K] row
+    gather lowering is unchanged."""
+    return albedo_flat.reshape(-1, 3)[addr]
+
+
+def _gather_rows_flat_params_fwd(albedo_flat, addr):
+    return albedo_flat.reshape(-1, 3)[addr], (addr, albedo_flat.shape[0])
+
+
+def _gather_rows_flat_params_bwd(res, g):
+    addr, n3 = res
+    comp = jnp.arange(3, dtype=jnp.int32)
+    flat_idx = (addr[..., None] * 3 + comp).reshape(-1)
+    ga = jnp.zeros(n3, dtype=g.dtype).at[flat_idx].add(g.reshape(-1))
+    return ga, None  # stays flat: no [3N]->[N,3] reshape copy
+
+
+_gather_rows_flat_params.defvjp(
+    _gather_rows_flat_params_fwd, _gather_rows_flat_params_bwd
+)
+
+
 def make_multihit_tracer(bg: BitGrid, max_hits: int = 4, max_iters: int = 2048):
     """``trace(tree, o, d) -> (hit_count [R], voxels [R,K,3], ts [R,K])``.
 
@@ -124,13 +157,20 @@ class SoftRenderer:
     """Differentiable renderer over dense per-voxel (albedo, opacity) params."""
 
     def __init__(self, source, max_hits: int = 4, max_iters: int = 2048,
-                 tracer: str = "stack", flat_albedo_bwd: bool = True):
+                 tracer: str = "stack", flat_albedo_bwd: bool = True,
+                 flat_params: bool = False):
         bg = source if isinstance(source, BitGrid) else bgmod.build_bitgrid(source)
         self.bitgrid = bg
         self.tracer_kind = tracer
         # Route the albedo gather's backward through a flat 1-D scatter
         # (see _gather_rows_flatbwd); forward math is identical.
         self.flat_albedo_bwd = bool(flat_albedo_bwd)
+        # END-TO-END flat albedo layout ([S^3*3] through composite, VJP,
+        # optimizer, checkpoint, sharding): kills the [3N]->[N,3] reshape
+        # copy of the 200 MB albedo cotangent that flat_albedo_bwd still
+        # pays (see _gather_rows_flat_params).  Changes the params pytree
+        # shape — checkpoints and external param consumers must agree.
+        self.flat_params = bool(flat_params)
         self.tree = device_bitgrid(bg, skip_rows=(tracer == "skip"))
         self.size = int(bg.size)
         self.max_hits = int(max_hits)
@@ -206,6 +246,8 @@ class SoftRenderer:
         albedo[~occupied] = 0.0
         logit = np.float32(np.log(init_opacity / (1 - init_opacity)))
         logits = np.where(occupied, logit, -10.0).astype(np.float32)
+        if self.flat_params:
+            albedo = albedo.reshape(-1)  # row-major: (i, c) at i*3+c
         return {"albedo": jnp.asarray(albedo), "logits": jnp.asarray(logits)}
 
     def _ensure_compact_renderer(self):
@@ -760,7 +802,9 @@ class SoftRenderer:
         # 3.1M scalar gathers and XLA inserts ~51 ms of layout copies), so
         # the forward row gather stays; ``flat_albedo_bwd`` keeps it and
         # reroutes only the BACKWARD through a flat 1-D scatter.
-        if self.flat_albedo_bwd:
+        if self.flat_params:
+            alb = _gather_rows_flat_params(params["albedo"], addr)
+        elif self.flat_albedo_bwd:
             alb = _gather_rows_flatbwd(params["albedo"], addr)  # [R, K, 3]
         else:
             alb = params["albedo"][addr]  # [R, K, 3]
