@@ -7,9 +7,13 @@ stationary frame cost.  This bench A/Bs the round-2 levers in ONE session:
 * ``sync``      — round-1 configuration (synchronous rasterization,
                   no far field): the baseline to beat
 * ``async``     — worker-thread region rasterization overlapped with the
-                  render (previously unmeasured on TPU)
-* ``far``       — far-field LOD on top (adds the whole-world coarse trace;
+                  render (round 4: chunked one-native-call rasterize+pack
+                  jobs — the round-3 per-region form measured 2.2x WORSE
+                  than sync from GIL/numpy contention)
+* ``far``       — far-field LOD rings on top (adds coarse ring traces;
                   not bit-comparable — it renders MORE content)
+* ``far+afar``  — far rings with the refresh OFF the render path
+                  (async_far: worker builds, render-thread swap)
 
 Steady-state equivalence: after draining all paging at the final camera,
 sync and async must produce identical frames.
@@ -41,13 +45,14 @@ def flight_cam(i, frames, res):
     return Camera(origin=eye, target=tgt, resolution=res, fov_y_deg=55.0)
 
 
-def fly(tree, res, frames, *, async_uploads, far_field, fuse_plan=False):
+def fly(tree, res, frames, *, async_uploads, far_field, fuse_plan=False,
+        async_far=False):
     from voxelhex_tpu.render.streaming import StreamingView
 
     view = StreamingView(
         tree, view_size=VIEW, regions_per_update=8192,
         async_uploads=async_uploads, far_field=far_field,
-        fuse_plan=fuse_plan,
+        fuse_plan=fuse_plan, async_far=async_far,
     )
     times = []
     for i in range(frames):
@@ -61,6 +66,14 @@ def fly(tree, res, frames, *, async_uploads, far_field, fuse_plan=False):
         if view.update(np.asarray(cam.target, dtype=np.float64),
                        camera=cam) == 0 and not view._inflight:
             break
+    if view.far is not None and view.async_far:
+        # drain the async ring build so the steady frame is current
+        for _ in range(50):
+            view.render(cam, out_u8=True)
+            job = view.far._job
+            if job is None:
+                break
+            job[0].result()
     final = np.asarray(view.render(cam, out_u8=True))
     view.close()
     return times, final
@@ -89,9 +102,9 @@ def main():
     variants = [
         ("sync", dict(async_uploads=False, far_field=False)),
         ("async", dict(async_uploads=True, far_field=False)),
-        ("async+far", dict(async_uploads=True, far_field=True)),
-        ("async+far+fuse", dict(async_uploads=True, far_field=True,
-                                fuse_plan=True)),
+        ("far", dict(async_uploads=False, far_field=True)),
+        ("far+afar", dict(async_uploads=False, far_field=True,
+                          async_far=True)),
     ]
     # warm every variant (compiles, first-window rebuild)
     for _name, kw in variants:
@@ -112,8 +125,8 @@ def main():
 
     np.testing.assert_array_equal(finals["sync"], finals["async"])
     print("steady-state sync == async: bit-exact OK")
-    np.testing.assert_array_equal(finals["async+far"], finals["async+far+fuse"])
-    print("steady-state far == far+fuse: bit-exact OK")
+    np.testing.assert_array_equal(finals["far"], finals["far+afar"])
+    print("steady-state far == far+afar (drained): bit-exact OK")
     for name, vals in sums.items():
         print(f"{name:10s}: avg {np.mean(vals)*1000:.0f} ms/frame")
 
