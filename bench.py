@@ -146,7 +146,7 @@ def main():
 
     pipe = FramePipeline(renderer)
     fetch_pool = ThreadPoolExecutor(max_workers=1)
-    K, NB = 4, 2  # frames per dispatch x dispatches per timed batch
+    K, NB = 4, 3  # frames per dispatch x dispatches per timed batch
 
     # warm the batched program (one tunnel compile, persistent-cached)
     batched_ok = renderer.render_many(
@@ -175,8 +175,25 @@ def main():
             f.result()
         return (time.time() - t0) / N
 
+    # second in-session auto-select: K-frames-per-dispatch amortizes the
+    # tunnel's per-dispatch + counts-RTT overhead ~K-fold and wins BIG in
+    # dispatch-bound sessions (measured 1001 -> 578 ms/frame), but in
+    # compute-bound sessions the per-frame pipeline's finer fetch overlap
+    # wins (613 vs 823 measured) — like beam-vs-plain, the regime decides
+    batched_mode = False
+    if batched_ok:
+        t_many = timed_batch_many()
+        t_single = timed_batch_single()
+        batched_mode = t_many is not None and t_many < t_single
+        print(
+            f"dispatch select: single {t_single*1e3:.0f} ms, "
+            f"batched {0 if t_many is None else t_many*1e3:.0f} ms -> "
+            f"{'batched' if batched_mode else 'single'}",
+            file=sys.stderr,
+        )
+
     def timed_batch():
-        if batched_ok:
+        if batched_mode:
             t = timed_batch_many()
             if t is not None:
                 return t
@@ -186,8 +203,8 @@ def main():
     if profile_dir:
         with jax.profiler.trace(profile_dir):
             best = timed_batch()
-    for _ in range(5):  # tunnel sessions swing 2x within minutes
-        best = min(best, timed_batch())
+    for _ in range(8):  # tunnel sessions swing 2x within minutes:
+        best = min(best, timed_batch())  # best-of catches fast phases
 
     rays = RES[0] * RES[1]
     rays_per_sec = rays / best
