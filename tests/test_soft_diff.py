@@ -638,3 +638,38 @@ def test_flat_params_layout_matches_row_layout():
         np.asarray(p_row["albedo"]).ravel(), np.asarray(p_flat["albedo"]),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_train_step_fused_revalidates_on_new_rays():
+    """Swapping the ray batch re-validates the plan (new rays token); a
+    harder view that overflows the recorded schedule falls back to the
+    adaptive path and still returns exact results."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    r = SoftRenderer(tree, max_hits=2, max_iters=256)
+    easy = orbit_camera(16.0, distance_factor=6.0, resolution=(32, 24))
+    hard = orbit_camera(16.0, distance_factor=1.05, resolution=(32, 24))
+    oe, de = (a.reshape(-1, 3) for a in device_rays(easy))
+    oh, dh = (a.reshape(-1, 3) for a in device_rays(hard))
+    params = r.init_params()
+    opt = optax.adam(0.05)
+    s = opt.init(params)
+    tgt = jnp.zeros((oe.shape[0], 3), dtype=jnp.float32)
+    for _ in range(2):  # record + fused-validate on the easy view
+        p2, s2, l2 = r.train_step_fused(params, s, opt, oe, de, tgt)
+    assert r._step_validated is not None
+    # now the hard view, same R: token differs -> re-validation; whatever
+    # path runs, the result must equal the recording path's
+    ra = SoftRenderer(tree, max_hits=2, max_iters=256)
+    pa, sa, la = ra._train_step_recording(
+        params, s, opt, oh, dh, tgt, None, 0.0, True
+    )
+    pb, sb, lb = r.train_step_fused(params, s, opt, oh, dh, tgt)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pa["logits"]), np.asarray(pb["logits"]),
+        rtol=1e-6, atol=1e-7,
+    )

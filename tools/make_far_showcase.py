@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-WORLD = 1024
+WORLD = 2048  # W/S=8: window -> F4 midfield ring -> F16 world ladder
 VIEW = 256
 
 
@@ -47,7 +47,7 @@ def main():
     from voxelhex_tpu.utils.png import write_png
 
     print("building terrain...", file=sys.stderr)
-    tree = build_terrain(WORLD)
+    tree = build_terrain(WORLD, brick_dim=8)  # 2048 = 8 * 4^4
     view = StreamingView(tree, view_size=VIEW, regions_per_update=8192)
 
     # low camera over the terrain, gazing across the window edge toward
