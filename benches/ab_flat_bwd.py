@@ -39,9 +39,9 @@ def main():
     cam = orbit_camera(128.0, resolution=RES)
 
     r_row = SoftRenderer(tree, max_hits=2, max_iters=2048,
-                         flat_albedo_bwd=False)
+                         flat_albedo_bwd=False, flat_params=False)
     r_flat = SoftRenderer(r_row.bitgrid, max_hits=2, max_iters=2048,
-                          flat_albedo_bwd=True)
+                          flat_albedo_bwd=True, flat_params=False)
     o, d = device_rays(cam)
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)

@@ -41,7 +41,8 @@ def main():
     tree = build_scene()
     cam = orbit_camera(128.0, resolution=RES)
 
-    r_row = SoftRenderer(tree, max_hits=2, max_iters=2048)
+    r_row = SoftRenderer(tree, max_hits=2, max_iters=2048,
+                         flat_params=False)
     r_flat = SoftRenderer(r_row.bitgrid, max_hits=2, max_iters=2048,
                           flat_params=True)
     o, d = device_rays(cam)

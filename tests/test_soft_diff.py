@@ -94,7 +94,8 @@ def test_albedo_gradients_flow_through_composite():
     grads = jax.grad(loss)(params)
     S = r.size
     addr = 5 + 5 * S + 4 * S * S
-    assert np.abs(np.asarray(grads["albedo"][addr])).sum() > 0
+    galb = np.asarray(grads["albedo"]).reshape(-1, 3)  # flat or row layout
+    assert np.abs(galb[addr]).sum() > 0
     assert abs(float(grads["logits"][addr])) >= 0  # finite
 
 

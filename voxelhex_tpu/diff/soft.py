@@ -158,7 +158,7 @@ class SoftRenderer:
 
     def __init__(self, source, max_hits: int = 4, max_iters: int = 2048,
                  tracer: str = "stack", flat_albedo_bwd: bool = True,
-                 flat_params: bool = False):
+                 flat_params: bool = True):
         bg = source if isinstance(source, BitGrid) else bgmod.build_bitgrid(source)
         self.bitgrid = bg
         self.tracer_kind = tracer
@@ -168,8 +168,11 @@ class SoftRenderer:
         # END-TO-END flat albedo layout ([S^3*3] through composite, VJP,
         # optimizer, checkpoint, sharding): kills the [3N]->[N,3] reshape
         # copy of the 200 MB albedo cotangent that flat_albedo_bwd still
-        # pays (see _gather_rows_flat_params).  Changes the params pytree
-        # shape — checkpoints and external param consumers must agree.
+        # pays (see _gather_rows_flat_params).  DEFAULT since the TPU A/B
+        # measured 1.12x on the full training step (724 -> 646 ms,
+        # benches/ab_flat_params.py, grads bit-identical); pass
+        # flat_params=False for the [S^3, 3] row layout — checkpoints and
+        # external param consumers must agree with the choice.
         self.flat_params = bool(flat_params)
         self.tree = device_bitgrid(bg, skip_rows=(tracer == "skip"))
         self.size = int(bg.size)
@@ -888,9 +891,11 @@ def with_candidates(
     params["logits"] = jnp.where(
         cand_j, jnp.float32(candidate_logit), params["logits"]
     )
-    params["albedo"] = jnp.where(
-        cand_j[:, None], jnp.float32(candidate_albedo), params["albedo"]
-    )
+    alb = params["albedo"]
+    if renderer.flat_params:
+        alb = alb.reshape(-1, 3)
+    alb = jnp.where(cand_j[:, None], jnp.float32(candidate_albedo), alb)
+    params["albedo"] = alb.reshape(-1) if renderer.flat_params else alb
     return renderer, params, cand
 
 
