@@ -361,3 +361,30 @@ def test_async_far_refresh_converges_to_sync():
     f_a = settle(va, cam2)
     np.testing.assert_array_equal(f_a, f_s)
     va.close()
+
+
+def test_sample_coarse_subblock_occupancy_thin_content():
+    """A thin (1-voxel) plate in a brick_dim-8 tree probed at F=4 cells:
+    every covering cell must report occupied (round-4 showcase bug — the
+    point sample at cell centers missed the plate and the midfield ring
+    rendered dotted holes)."""
+    from voxelhex_tpu.tree.flat import flatten, sample_coarse
+
+    W = 128  # 8 * 4^2
+    tree = BoxTree(W, 8, auto_simplify=False)
+    for x in range(16, 48):
+        for z in range(16, 48):
+            tree.insert((x, 21, z), Albedo(90, 160, 60, 255))  # y=21 plate
+    flat = flatten(tree)
+    F = 4
+    # every F-cell over the plate's xz extent at the plate's y band
+    xs = np.arange(16, 48, F)
+    cells = np.stack(np.meshgrid(xs, [20], xs, indexing="ij"), axis=-1)
+    centers = cells.reshape(-1, 3) + F // 2
+    occ, col = sample_coarse(flat, centers, F)
+    assert occ.all(), f"{(~occ).sum()} of {occ.size} covering cells missed"
+    assert (col >= 0).all()
+    # cells in the empty band ABOVE the plate stay empty
+    centers2 = centers + np.array([0, F, 0])
+    occ2, _ = sample_coarse(flat, centers2, F)
+    assert not occ2.any()

@@ -51,9 +51,14 @@ def main():
     view = StreamingView(tree, view_size=VIEW, regions_per_update=8192)
 
     # low camera over the terrain, gazing across the window edge toward
-    # the horizon — mid-field relief fills the F=4 ring's band
+    # the horizon — mid-field relief fills the F=4 ring's band.  The
+    # target sits CLOSE to the eye (the pager centers the window on the
+    # look-at point), so near ground is full-res and the ladder starts
+    # at the window edge.
     eye = np.array([WORLD * 0.25, WORLD * 0.085, WORLD * 0.25])
-    tgt = np.array([WORLD * 0.55, WORLD * 0.055, WORLD * 0.55])
+    aim = np.array([WORLD * 0.55, WORLD * 0.045, WORLD * 0.55])
+    d = (aim - eye) / np.linalg.norm(aim - eye)
+    tgt = eye + d * 40.0
     cam = Camera(origin=eye, target=tgt, resolution=res, fov_y_deg=60.0)
 
     # drain paging so the window is fully resident

@@ -290,8 +290,18 @@ def sample_coarse(flat: FlatTree, pts: np.ndarray, granularity: int | None = Non
     occupied = bit_occupied.copy()
     color = np.full(M, EMPTY_DESC, dtype=np.int32)
 
-    def _texel_sample(mask, desc, bmin, bsize):
-        """Sample brick descriptors (solid or pool index) at the query pts."""
+    def _texel_sample(mask, desc, bmin, bsize, block=False):
+        """Sample brick descriptors (solid or pool index) at the query pts.
+
+        ``block``: for REAL voxel bricks whose texels are finer than the
+        query granularity (bsize > g, i.e. the g-cell covers a k^3 texel
+        sub-block with k = g*d/bsize > 1), a point sample UNDER-reports
+        thin content — a 3-voxel terrain crust probed at F=4 cell centers
+        through brick_dim-8 leaves rendered as dotted holes in the
+        midfield ring (found by the round-4 showcase).  The sub-block
+        pass replaces it with any-voxel occupancy + first non-empty
+        color over the cell's texel block (the bsize <= g case is already
+        handled by the whole-brick fallback below)."""
         if not mask.any():
             return
         solid = mask & ((desc & SOLID_FLAG) != 0)
@@ -304,6 +314,31 @@ def sample_coarse(flat: FlatTree, pts: np.ndarray, granularity: int | None = Non
             v = flat.bricks[desc[parted], fi]
             color[parted] = v
             occupied[parted] = v != EMPTY_DESC
+            if block:
+                kvals = np.where(
+                    bsize[parted] > g, g * d // bsize[parted], 1
+                )
+                pidx = np.flatnonzero(parted)
+                for kk in np.unique(kvals):
+                    if kk <= 1:
+                        continue
+                    mm = kvals == kk
+                    rows = pidx[mm]
+                    base = (t[mm] // kk) * kk  # cell's texel-block corner
+                    off = np.stack(
+                        np.meshgrid(*[np.arange(kk)] * 3, indexing="ij"),
+                        axis=-1,
+                    ).reshape(-1, 3)
+                    tt = base[:, None, :] + off[None, :, :]
+                    fi2 = tt[..., 0] + tt[..., 1] * d + tt[..., 2] * d * d
+                    vox = flat.bricks[desc[rows][:, None], fi2]
+                    nonempty = vox != EMPTY_DESC
+                    anyo = nonempty.any(axis=1)
+                    first = np.argmax(nonempty, axis=1)
+                    occupied[rows] = anyo
+                    cc = color[rows]
+                    cc[anyo] = vox[np.arange(vox.shape[0]), first][anyo]
+                    color[rows] = cc
         empty = mask & (desc == EMPTY_DESC)
         occupied[empty] = False
 
@@ -321,7 +356,7 @@ def sample_coarse(flat: FlatTree, pts: np.ndarray, granularity: int | None = Non
         # uniform bricks span the node; leaf bricks span the sectant cell
         bmin = np.where(is_uniform[:, None], node_min, node_min + rel * cell[:, None])
         bsize = np.where(is_uniform, node_size, cell)
-        _texel_sample(leaf_only, desc, bmin, bsize)
+        _texel_sample(leaf_only, desc, bmin, bsize, block=True)
         # a point sample under-reports a cell covered by exactly one brick:
         # fall back to any-voxel occupancy + the brick's first non-empty color
         missed = (
