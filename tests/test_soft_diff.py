@@ -674,3 +674,79 @@ def test_train_step_fused_revalidates_on_new_rays():
         np.asarray(pa["logits"]), np.asarray(pb["logits"]),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_params_to_tree_round_trip_and_carve():
+    """params_to_tree closes the fit loop: an identity bake reproduces
+    the source scene's voxels + colors exactly; carving a voxel's logit
+    removes it; a grown candidate (with_candidates) appears with its
+    learned color.  The baked tree renders through the production
+    tracer."""
+    from voxelhex_tpu.diff.soft import params_to_tree, with_candidates
+    from voxelhex_tpu.tree.flat import flatten
+
+    tree = _step_scene()
+    r = SoftRenderer(tree, max_hits=2, max_iters=256)
+    params = r.init_params()
+
+    baked = params_to_tree(r, params)
+    for x in range(16):
+        for y in range(16):
+            for z in range(16):
+                a = tree.get((x, y, z))
+                b = baked.get((x, y, z))
+                assert a.is_some == b.is_some, (x, y, z)
+                if a.is_some:
+                    assert (a.albedo.r, a.albedo.g, a.albedo.b) == (
+                        b.albedo.r, b.albedo.g, b.albedo.b), (x, y, z)
+
+    # carve: drive one occupied voxel's opacity to zero
+    occ_addr = None
+    for x in range(16):
+        for y in range(16):
+            for z in range(16):
+                if tree.get((x, y, z)).is_some:
+                    occ_addr = (x, y, z)
+                    break
+            if occ_addr:
+                break
+        if occ_addr:
+            break
+    ax = occ_addr[0] + occ_addr[1] * 16 + occ_addr[2] * 256
+    params2 = dict(params, logits=params["logits"].at[ax].set(-8.0))
+    carved = params_to_tree(r, params2)
+    assert not carved.get(occ_addr).is_some
+    # everything else survives
+    n_before = sum(
+        1 for x in range(16) for y in range(16) for z in range(16)
+        if baked.get((x, y, z)).is_some
+    )
+    n_after = sum(
+        1 for x in range(16) for y in range(16) for z in range(16)
+        if carved.get((x, y, z)).is_some
+    )
+    assert n_after == n_before - 1
+
+    # grow: a candidate voxel raised above threshold appears, colored
+    r2, p2, cand = with_candidates(flatten(tree), radius=1, max_hits=3,
+                                   max_iters=256)
+    cidx = int(np.flatnonzero(cand)[0])
+    S = r2.size
+    p2 = dict(p2, logits=p2["logits"].at[cidx].set(8.0))
+    alb = p2["albedo"].reshape(-1, 3).at[cidx].set(
+        jnp.array([1.0, 0.0, 0.0])
+    )
+    p2 = dict(p2, albedo=alb.reshape(-1) if r2.flat_params else alb)
+    grown = params_to_tree(r2, p2, threshold=0.6)
+    gx, gy, gz = cidx % S, (cidx // S) % S, cidx // (S * S)
+    e = grown.get((gx, gy, gz))
+    assert e.is_some and e.albedo.r == 255 and e.albedo.g == 0
+
+    # the baked tree renders through the production path
+    from voxelhex_tpu.render.bitgrid import BitGridRenderer
+    from voxelhex_tpu.render.camera import orbit_camera
+
+    img = BitGridRenderer(flatten(baked), max_iters=256).render(
+        orbit_camera(16.0, resolution=(24, 16))
+    )
+    assert np.isfinite(img).all()

@@ -899,6 +899,41 @@ def with_candidates(
     return renderer, params, cand
 
 
+def params_to_tree(renderer: SoftRenderer, params, threshold: float = 0.5,
+                   brick_dim: int = 4, simplify: bool = True):
+    """Bake fitted soft params back into an editable :class:`BoxTree`.
+
+    Closes the training loop: after ``fit_soft`` carves/grows geometry,
+    voxels whose ``sigmoid(logit) >= threshold`` become occupied tree
+    voxels with their learned albedo (quantized to u8 RGB, alpha 255);
+    everything else is carved away.  The result is a first-class tree —
+    editable, bencode/npz-checkpointable, streamable, and renderable by
+    the production tracer (the reference workflow operates on trees
+    end-to-end; this is the TPU training path's road back into it).
+
+    ``params`` may use either albedo layout (row [S^3, 3] or flat
+    [S^3*3]).  An identity bake of ``init_params()`` (default opacity
+    0.99) reproduces the source scene's voxels and colors exactly."""
+    from voxelhex_tpu.tree.build import from_voxels
+
+    S = renderer.size
+    logits = np.asarray(params["logits"]).reshape(-1)
+    alb = np.asarray(params["albedo"]).reshape(-1, 3)
+    keep = 1.0 / (1.0 + np.exp(-logits)) >= threshold
+    idx = np.flatnonzero(keep)
+    # voxel address order is x + y*S + z*S^2
+    x = idx % S
+    y = (idx // S) % S
+    z = idx // (S * S)
+    positions = np.stack([x, y, z], axis=1).astype(np.int64)
+    rgb = np.clip(np.round(alb[idx] * 255.0), 0, 255).astype(np.uint8)
+    colors = np.concatenate(
+        [rgb, np.full((idx.shape[0], 1), 255, dtype=np.uint8)], axis=1
+    )
+    return from_voxels(positions, colors, size=S, brick_dim=brick_dim,
+                       simplify=simplify)
+
+
 def fit_soft(
     renderer: SoftRenderer,
     origins,
