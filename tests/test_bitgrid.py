@@ -706,3 +706,37 @@ def test_render_many_overflow_falls_back_to_none():
     else:
         # the near frame happened to fit the plan: must be exact
         np.testing.assert_array_equal(out[1], r.render(near, out_u8=True))
+
+
+def test_fused_pose_validation_skips_counts_read():
+    """Validate-once-per-pose: after a pose's counts validate against the
+    plan, re-rendering the SAME pose skips the blocking read
+    (pose_validated stat) with identical pixels; a new pose re-validates,
+    and invalidate_beam (the content-change hook) voids the token."""
+    tree = make_scene(64, 4, seed=3)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    plain = r.render(cam, out_u8=True)
+    for _ in range(3):  # record + stabilize + fuse (validates the pose)
+        rf.render(cam, out_u8=True)
+    assert rf.last_stats.get("frame_fused")
+    assert rf._frame_validated is not None
+    f4 = rf.render(cam, out_u8=True)  # same pose: no blocking read
+    assert rf.last_stats.get("pose_validated")
+    np.testing.assert_array_equal(f4, plain)
+
+    # a new pose re-validates (full stats with rounds), still exact
+    cam2 = orbit_camera(64.0, yaw_deg=55.0, resolution=(160, 120))
+    f5 = rf.render(cam2, out_u8=True)
+    np.testing.assert_array_equal(f5, r.render(cam2, out_u8=True))
+
+    # content-change hook voids the token: same pose re-validates once
+    rf.render(cam, out_u8=True)  # re-validate (cam2 took the slot)
+    rf.render(cam, out_u8=True)
+    assert rf.last_stats.get("pose_validated")
+    rf.invalidate_beam()
+    rf.render(cam, out_u8=True)
+    assert not rf.last_stats.get("pose_validated")
+    rf.render(cam, out_u8=True)
+    assert rf.last_stats.get("pose_validated")
