@@ -46,7 +46,7 @@ class RenderService:
     """Device-owning render/edit core shared by the HTTP layer and tests."""
 
     def __init__(self, tree, view_size: int | None = None,
-                 fuse_plan: bool = False):
+                 fuse_plan: bool = False, async_far: bool = True):
         from voxelhex_tpu.render.bitgrid import BitGridRenderer
         from voxelhex_tpu.render.streaming import StreamingView
         from voxelhex_tpu.tree.flat import flatten
@@ -58,9 +58,15 @@ class RenderService:
         # fused dispatch (local-TPU serving; through the slow-compile
         # tunnel a NEW plan signature stalls minutes, so off by default)
         self.fuse_plan = bool(fuse_plan)
+        # async_far: far-ring rebuilds run off the render path (measured
+        # win on moving cameras, PERF.md "Fly-over round 4"); old rings
+        # serve until the worker's swap, so a flying viewer never stalls
+        # on a re-anchor
+        self.async_far = bool(async_far)
         if view_size is not None and view_size < tree.size:
             self.view = StreamingView(tree, view_size=view_size,
-                                      fuse_plan=self.fuse_plan)
+                                      fuse_plan=self.fuse_plan,
+                                      async_far=self.async_far)
             self.renderer = None
         else:
             self.view = None
@@ -132,7 +138,8 @@ class RenderService:
             self.tree = tree
             if view_size is not None and view_size < tree.size:
                 self.view = StreamingView(tree, view_size=view_size,
-                                          fuse_plan=self.fuse_plan)
+                                          fuse_plan=self.fuse_plan,
+                                          async_far=self.async_far)
                 self.renderer = None
             else:
                 self.view = None
