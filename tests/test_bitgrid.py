@@ -740,3 +740,21 @@ def test_fused_pose_validation_skips_counts_read():
     assert not rf.last_stats.get("pose_validated")
     rf.render(cam, out_u8=True)
     assert rf.last_stats.get("pose_validated")
+
+
+def test_render_many_pose_validation_skip():
+    """render_many's second identical batch skips the counts read
+    (pose_validated) and stays bit-identical."""
+    tree = make_scene(64, 4, seed=7)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cams = [
+        orbit_camera(64.0, yaw_deg=y, resolution=(160, 120))
+        for y in (20.0, 22.0)
+    ]
+    for _ in range(3):
+        rf.render(cams[0], out_u8=True)
+    b1 = rf.render_many(cams, out_u8=True)
+    assert b1 is not None and not rf.last_stats.get("pose_validated")
+    b2 = rf.render_many(cams, out_u8=True)
+    assert rf.last_stats.get("pose_validated")
+    np.testing.assert_array_equal(b1, b2)

@@ -2114,10 +2114,32 @@ class BitGridRenderer:
                 jnp.stack(col)
                 for col in zip(*(camera_params(c) for c in cameras))
             ]
+            token = (
+                fkey, id(self.tree),
+                tuple(
+                    (tuple(np.asarray(c.origin, dtype=np.float32)),
+                     tuple(np.asarray(c.target, dtype=np.float32)),
+                     tuple(np.asarray(c.up, dtype=np.float32)),
+                     float(c.fov_y_deg))
+                    for c in cameras
+                ),
+                tuple(bg) if bg is not None else None,
+            )
             if spec is not None:
                 rgbs, counts = fn(self.tree, spec["tree_b"], *stacked, bgc)
             else:
                 rgbs, counts = fn(self.tree, *stacked, bgc)
+            if token == self._frame_validated:
+                # validate-once-per-pose-set: identical (tree, cameras)
+                # reproduce the validated counts — no blocking read
+                self.last_stats = {
+                    "rays": int(R) * K, "planned": True, "fused": True,
+                    "frame_fused": True, "batched_frames": K,
+                    "beam_fused": spec is not None, "pose_validated": True,
+                    "trace_seconds": round(_time.time() - t_start, 4),
+                }
+                rgbs = rgbs.reshape(K, h, w, 3)
+                return rgbs if out_device else np.asarray(rgbs)
             counts_h = np.asarray(counts)  # ONE blocking read for K frames
             rounds = pre = None
             for k in range(K):
@@ -2126,7 +2148,9 @@ class BitGridRenderer:
                 )
                 if bad:
                     self._plans.pop(plan_key, None)
+                    self._frame_validated = None
                     return None  # caller re-renders per frame, re-plans
+            self._frame_validated = token
             self._record_plan(plan_key, plan_from_rounds(rounds, pre=pre))
             self.last_stats = {
                 "rays": int(R) * K,
