@@ -103,6 +103,41 @@ def main():
             )
         )
 
+    # round-4 form: the ONE-dispatch chained TRAINING step (march +
+    # backward + adam update in a single program, no per-step host sync —
+    # what bench.py's headline measures)
+    import optax
+
+    opt = optax.adam(0.05)
+    p, s = params, opt.init(params)
+    _c, voxels, _t = r.trace_hits(o, d, compact=True)
+    target = jax.lax.stop_gradient(
+        r.composite(params, jax.lax.stop_gradient(voxels))
+    )
+    for _ in range(2):  # record plans + compile/validate the fused step
+        _p, _s, _l = r.train_step_fused(p, s, opt, o, d, target)
+        jax.block_until_ready(_l)
+    NSTEP = 4
+    best = float("inf")
+    for _ in range(3):
+        pp, ss = p, s
+        t0 = time.time()
+        loss = None
+        for _ in range(NSTEP):
+            pp, ss, loss = r.train_step_fused(pp, ss, opt, o, d, target)
+        jax.block_until_ready(loss)
+        best = min(best, (time.time() - t0) / NSTEP)
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_fwdbwd_1080p_fused_step",
+                "value": round(rays / best, 1),
+                "unit": "rays/s",
+                "step_s": round(best, 3),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
