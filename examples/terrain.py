@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--async-uploads", action="store_true",
                     help="rasterize regions on a worker thread (smoother frames)")
+    ap.add_argument("--async-far", action="store_true",
+                    help="far-ring rebuilds off the render path (measured "
+                         "win for moving cameras, PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -88,7 +91,8 @@ def main():
     tree = build_terrain(args.world)
     view = StreamingView(tree, view_size=args.view,
                          regions_per_update=512 if args.async_uploads else 8192,
-                         async_uploads=args.async_uploads)
+                         async_uploads=args.async_uploads,
+                         async_far=args.async_far)
 
     for i in range(args.frames):
         # fly across the terrain
