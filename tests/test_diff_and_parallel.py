@@ -389,3 +389,39 @@ def test_render_sharded_device_raygen(small_scene):
     np.testing.assert_allclose(
         render_sharded(r, cam2, mesh), r.render(cam2), atol=1e-5
     )
+
+
+def test_fit_soft_sharded_camera_pipelined(small_scene):
+    """camera-driven sharded fit with the PIPELINED psum variant: the
+    mesh-traced records feed the microbatched step; losses match the
+    plain sharded fit."""
+    from voxelhex_tpu.diff.soft import SoftRenderer
+    from voxelhex_tpu.parallel.soft import fit_soft_sharded
+
+    cam = orbit_camera(small_scene.size, resolution=(40, 32))
+    mesh = make_ray_mesh()
+    soft = SoftRenderer(small_scene, max_hits=2, max_iters=256)
+    params0 = soft.init_params()
+    from voxelhex_tpu.render.camera import device_rays
+
+    o_d, d_d = device_rays(cam)
+    _c, v, _t = soft.trace_hits(o_d.reshape(-1, 3), d_d.reshape(-1, 3))
+    target = np.asarray(soft.composite(params0, jax.lax.stop_gradient(v)))
+    init = {
+        "albedo": jnp.clip(params0["albedo"] + 0.25, 0.0, 1.0),
+        "logits": params0["logits"] * 0.5,
+    }
+    p1, l1 = fit_soft_sharded(
+        soft, mesh, None, None, target, steps=2, lr=0.05,
+        params0=jax.tree.map(jnp.array, init), camera=cam,
+    )
+    p2, l2 = fit_soft_sharded(
+        soft, mesh, None, None, target, steps=2, lr=0.05,
+        params0=jax.tree.map(jnp.array, init), camera=cam,
+        pipelined_microbatches=2,
+    )
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-5
+        )

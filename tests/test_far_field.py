@@ -388,3 +388,35 @@ def test_sample_coarse_subblock_occupancy_thin_content():
     centers2 = centers + np.array([0, F, 0])
     occ2, _ = sample_coarse(flat, centers2, F)
     assert not occ2.any()
+
+
+def test_async_uploads_and_async_far_together():
+    """Both workers at once (region rasterization AND ring rebuilds off
+    the render thread): after draining both, frames equal the fully
+    synchronous view's exactly."""
+    W, S = 1024, 256
+    def make_tree():
+        t = BoxTree(W, 4, auto_simplify=True)
+        t.insert_at_lod((16, 16, 16), 16, Albedo(200, 40, 40, 255))
+        t.insert_at_lod((640, 0, 640), 128, Albedo(40, 200, 40, 255))
+        return t
+
+    vs = StreamingView(make_tree(), view_size=S, regions_per_update=4096)
+    va = StreamingView(make_tree(), view_size=S, regions_per_update=4096,
+                       async_uploads=True, async_far=True)
+    cam = _camera((500.0, 40.0, 500.0), (512.0, 36.0, 512.0), res=(48, 36))
+    f_s = np.asarray(vs.render(cam))
+    # drain: paging worker, then the far worker, then a final swap render
+    for _ in range(200):
+        if (va.update(np.asarray(cam.target, dtype=np.float64), camera=cam)
+                == 0 and not va._inflight):
+            break
+    for _ in range(100):
+        va.render(cam)
+        job = va.far._job if va.far is not None else None
+        if job is None:
+            break
+        job[0].result()
+    f_a = np.asarray(va.render(cam))
+    np.testing.assert_array_equal(f_a, f_s)
+    va.close()
