@@ -425,3 +425,62 @@ def test_fit_soft_sharded_camera_pipelined(small_scene):
         np.testing.assert_allclose(
             np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-5
         )
+
+
+def test_sharded_e2e_planned_march_matches_plain(small_scene):
+    """The planned per-shard compacted march (record_shard_plan +
+    sharded_soft_train_step_e2e(plan=...)) must equal the plain per-shard
+    march step exactly, with per-shard counts that validate."""
+    from voxelhex_tpu.diff.soft import SoftRenderer
+    from voxelhex_tpu.parallel.soft import (
+        record_shard_plan,
+        sharded_soft_train_step_e2e,
+        validate_shard_counts,
+    )
+    from voxelhex_tpu.parallel.render import shard_rays
+    from voxelhex_tpu.render.camera import camera_params, device_rays
+
+    cam = orbit_camera(small_scene.size, resolution=(40, 32))
+    mesh = make_ray_mesh()
+    n = mesh.shape["rays"]
+    soft = SoftRenderer(small_scene, max_hits=2, max_iters=256)
+    params0 = soft.init_params()
+    o_d, d_d = device_rays(cam)
+    _c, v, _t = soft.trace_hits(o_d.reshape(-1, 3), d_d.reshape(-1, 3))
+    target = np.asarray(soft.composite(params0, jax.lax.stop_gradient(v)))
+    (t_sh,), _ = shard_rays(mesh, target)
+    init = {
+        "albedo": jnp.clip(params0["albedo"] + 0.25, 0.0, 1.0),
+        "logits": params0["logits"] * 0.5,
+    }
+
+    plan = record_shard_plan(soft, cam, mesh)
+    assert plan is not None and len(plan["rounds"]) >= 1
+
+    opt = optax.adam(0.05)
+    plain = sharded_soft_train_step_e2e(soft, mesh, opt, cam.resolution)
+    planned = sharded_soft_train_step_e2e(soft, mesh, opt, cam.resolution,
+                                          plan=plan)
+    p1 = jax.tree.map(jnp.array, init)
+    s1 = opt.init(p1)
+    p2 = jax.tree.map(jnp.array, init)
+    s2 = opt.init(p2)
+    for _ in range(2):
+        p1, s1, l1 = plain(soft.tree, p1, s1, *camera_params(cam), t_sh)
+        p2, s2, l2, counts = planned(soft.tree, p2, s2,
+                                     *camera_params(cam), t_sh)
+        assert validate_shard_counts(counts, plan, n)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-6, atol=1e-7
+        )
+
+    # a deliberately too-tight plan FAILS validation instead of silently
+    # dropping hits
+    tight = {"rounds": ((2, 8),) + tuple(plan["rounds"])[1:]}
+    tight_step = sharded_soft_train_step_e2e(soft, mesh, opt,
+                                             cam.resolution, plan=tight)
+    _p, _s, _l, bad_counts = tight_step(soft.tree, p2, s2,
+                                        *camera_params(cam), t_sh)
+    assert not validate_shard_counts(bad_counts, tight, n)

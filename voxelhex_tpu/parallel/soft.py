@@ -184,6 +184,70 @@ def sharded_soft_trace_fn(soft: SoftRenderer, mesh: Mesh, resolution,
     return jax.jit(fn)
 
 
+def record_shard_plan(soft: SoftRenderer, camera, mesh: Mesh,
+                      axis_name: str = "rays", extra_rounds: int = 1):
+    """Record a conservative PER-SHARD multi-hit schedule for
+    :func:`sharded_soft_train_step_e2e`'s planned march: each shard's row
+    band is traced adaptively on the current device, and the band
+    schedules union into one static (iters, bucket) ladder (per-round
+    bucket = max over bands; a band that finished early adds no
+    constraint), padded with ``extra_rounds`` uncompacted safety rounds
+    (a round's while_loop only runs live iterations, so padding is
+    ~free).  Returns ``{"rounds": ...}`` or None when a band's adaptive
+    trace did not converge.
+
+    The plan is CONSERVATIVE, not guaranteed: shards see different ray
+    distributions, so the sharded program returns its per-shard
+    straggler counts and the caller validates them once per
+    (plan, tree, camera) — the same validate-once-by-determinism policy
+    as the fused single-chip paths; on overflow, fall back to the
+    plain (uncompacted) per-shard march."""
+    from voxelhex_tpu.render.camera import device_rays
+
+    w, h = camera.resolution
+    n = mesh.shape[axis_name]
+    assert h % n == 0, f"{h} rows must divide the {n}-device mesh"
+    R_shard = (h // n) * w
+    o_full, d_full = device_rays(camera)
+    o_full = o_full.reshape(-1, 3)
+    d_full = d_full.reshape(-1, 3)
+    band_plans = []
+    for i in range(n):
+        sl = slice(i * R_shard, (i + 1) * R_shard)
+        soft._soft_plans.pop((R_shard, False), None)
+        soft.trace_hits_compacted(o_full[sl], d_full[sl], fuse=False)
+        p = soft._soft_plans.get((R_shard, False))
+        if p is None:
+            return None  # band didn't converge within the iter budget
+        band_plans.append(tuple(p["rounds"]))
+    n_rounds = max(len(r) for r in band_plans)
+    rounds = []
+    for k in range(n_rounds):
+        live = [r[k] for r in band_plans if k < len(r)]
+        iters = max(it for it, _b in live)
+        buckets = [b for _it, b in live]
+        bucket = None if any(b is None for b in buckets) else max(buckets)
+        rounds.append((int(iters), bucket))
+    for _ in range(int(extra_rounds)):
+        rounds.append((rounds[-1][0], None))
+    return {"rounds": tuple(rounds)}
+
+
+def validate_shard_counts(counts, plan, n_shards: int) -> bool:
+    """Check a planned sharded march's per-shard straggler counts: True
+    when every shard's compaction buckets held and every shard finished
+    (exactness gate for the plan; one small host read)."""
+    entries = tuple(plan["rounds"])
+    c = np.asarray(counts).reshape(n_shards, len(entries))
+    for s in range(n_shards):
+        for k, (_iters, bucket) in enumerate(entries):
+            if bucket is not None and int(c[s, k]) > bucket:
+                return False
+        if int(c[s, -1]) != 0:
+            return False
+    return True
+
+
 def sharded_soft_train_step_e2e(
     soft: SoftRenderer,
     mesh: Mesh,
@@ -192,6 +256,7 @@ def sharded_soft_train_step_e2e(
     axis_name: str = "rays",
     opacity_l1: float = 0.0,
     fit_albedo: bool = True,
+    plan=None,
 ):
     """END-TO-END sharded ONLINE training step: per-shard device raygen,
     per-shard multi-hit march, transmittance composite + backward,
@@ -205,7 +270,17 @@ def sharded_soft_train_step_e2e(
     renderer's device pyramid (``soft.tree``, replicated), ``targets``
     [R, 3] sharded on axis 0 and the camera params replicated.  Matches
     the single-device online step (trace + ``fit_soft``-style update)
-    when the ray count divides the mesh."""
+    when the ray count divides the mesh.
+
+    ``plan`` (from :func:`record_shard_plan`): the per-shard march runs
+    the PLANNED compacted schedule instead of the plain K-serial-march
+    tracer — the single-chip beam/compaction lever applied inside the
+    mesh, with no host reads in the program.  The step then additionally
+    returns the per-shard straggler ``counts``; validate them ONCE per
+    (plan, tree, camera) with :func:`validate_shard_counts` (exact by
+    determinism afterwards) and fall back to ``plan=None`` on overflow.
+    Hit results are identical either way (compaction drops only finished
+    rays — parity-tested)."""
     import optax
 
     from voxelhex_tpu.render.camera import raygen_rows_body
@@ -217,26 +292,42 @@ def sharded_soft_train_step_e2e(
     gen = raygen_rows_body(w, h, rows)
     trace = soft._trace
     local_loss = _local_loss_fn(soft, opacity_l1, fit_albedo)
+    hits_body = None
+    if plan is not None:
+        entries = tuple(
+            (int(i), (int(b) if b is not None else None))
+            for i, b in plan["rounds"]
+        )
+        hits_body = soft._hits_body(rows * w, entries, None)
 
     def shard_step(tree, params, opt_state, origin, right, up, forward,
                    scale, targets):
         i = jax.lax.axis_index(axis_name)
         o, d = gen(origin, right, up, forward, scale,
                    (i * rows).astype(jnp.float32))
-        _c, voxels, _dists = trace(tree, o, d)
+        if hits_body is not None:
+            _c, voxels, _dists, counts = hits_body(tree, o, d, None)
+        else:
+            _c, voxels, _dists = trace(tree, o, d)
+            counts = None
         voxels = jax.lax.stop_gradient(voxels)
         loss, grads = jax.value_and_grad(local_loss)(params, voxels, targets)
         grads = jax.lax.pmean(grads, axis_name)  # all-reduce over ICI
         loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
+        if counts is not None:
+            return _clip_params(params), opt_state, loss, counts
         return _clip_params(params), opt_state, loss
 
+    out_specs = (P(), P(), P())
+    if plan is not None:
+        out_specs = out_specs + (P(axis_name),)
     sharded = shard_map(
         shard_step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(axis_name)),
-        out_specs=(P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
