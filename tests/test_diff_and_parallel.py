@@ -484,3 +484,31 @@ def test_sharded_e2e_planned_march_matches_plain(small_scene):
     _p, _s, _l, bad_counts = tight_step(soft.tree, p2, s2,
                                         *camera_params(cam), t_sh)
     assert not validate_shard_counts(bad_counts, tight, n)
+
+
+def test_sharded_render_planned_march_matches_single_device(small_scene):
+    """The planned per-shard compacted RENDER march (record_render_shard_plan
+    + sharded_render_planned_fn) must match the single-device render, with
+    per-shard counts that validate against the plan."""
+    from voxelhex_tpu.parallel.bitgrid_sharded import (
+        record_render_shard_plan,
+        sharded_render_planned_fn,
+    )
+    from voxelhex_tpu.parallel.soft import validate_shard_counts
+    from voxelhex_tpu.render.bitgrid import BitGridRenderer
+    from voxelhex_tpu.render.camera import camera_params
+
+    r = BitGridRenderer(small_scene, max_iters=256)
+    mesh = make_ray_mesh()
+    n = mesh.shape["rays"]
+    cam = orbit_camera(small_scene.size, resolution=(40, 32))
+    plan = record_render_shard_plan(r, cam, mesh)
+    assert plan is not None
+    fn = sharded_render_planned_fn(r, mesh, cam.resolution, plan)
+    bg = jnp.zeros(3, dtype=jnp.float32)
+    rgb, counts = fn(r.tree, *camera_params(cam), bg)
+    assert validate_shard_counts(counts, plan, n)
+    single = r.render(cam)
+    np.testing.assert_allclose(
+        np.asarray(rgb).reshape(single.shape), single, atol=1e-5
+    )

@@ -74,6 +74,94 @@ def sharded_render_cam_fn(renderer: BitGridRenderer, mesh: Mesh, resolution,
     return jax.jit(fn)
 
 
+def record_render_shard_plan(renderer: BitGridRenderer, camera, mesh: Mesh,
+                             axis: str = "rays", extra_rounds: int = 1):
+    """Record a conservative per-shard compaction schedule for
+    :func:`sharded_render_cam_fn`'s planned march: each shard's row band
+    traces adaptively on the current device; band schedules union into
+    one static ladder (per-round max bucket + an uncompacted safety
+    round).  Returns ``{"rounds": ...}`` or None when a band's trace
+    didn't converge.  Validate the sharded program's per-shard counts
+    once per (plan, tree, pose) — same policy as the soft path's
+    :func:`voxelhex_tpu.parallel.soft.record_shard_plan`."""
+    from voxelhex_tpu.render.camera import device_rays
+
+    w, h = camera.resolution
+    n = mesh.shape[axis]
+    assert h % n == 0, f"{h} rows must divide the {n}-device mesh"
+    R_shard = (h // n) * w
+    o_full, d_full = device_rays(camera)
+    o_full = o_full.reshape(-1, 3)
+    d_full = d_full.reshape(-1, 3)
+    band_plans = []
+    for i in range(n):
+        sl = slice(i * R_shard, (i + 1) * R_shard)
+        for key in list(renderer._plans):
+            if key[0] == R_shard:
+                renderer._plans.pop(key)
+        renderer.trace_compacted(o_full[sl], d_full[sl])
+        p = None
+        for key, val in renderer._plans.items():
+            if key[0] == R_shard:
+                p = val
+        if p is None:
+            return None
+        rounds = p["rounds"] if isinstance(p, dict) else p
+        if not rounds:
+            return None
+        band_plans.append(tuple(rounds))
+    n_rounds = max(len(r) for r in band_plans)
+    rounds = []
+    for k in range(n_rounds):
+        live = [r[k] for r in band_plans if k < len(r)]
+        iters = max(it for it, _b in live)
+        buckets = [b for _it, b in live]
+        bucket = None if any(b is None for b in buckets) else max(buckets)
+        rounds.append((int(iters), bucket))
+    for _ in range(int(extra_rounds)):
+        rounds.append((rounds[-1][0], None))
+    return {"rounds": tuple(rounds)}
+
+
+def sharded_render_planned_fn(renderer: BitGridRenderer, mesh: Mesh,
+                              resolution, plan, axis: str = "rays"):
+    """Device-raygen sharded frame with the PLANNED per-shard compacted
+    march (the single-chip schedule lever inside the mesh, no host
+    reads): ``fn(tree, origin, right, up, forward, scale, bg) ->
+    (rgb sharded, counts [n*C])``.  Shading rides the frame body's
+    shade-on-retire accumulator, so per-shard math matches the fused
+    single-chip frame exactly."""
+    from voxelhex_tpu.render.camera import raygen_rows_body
+
+    w, h = resolution
+    n = mesh.shape[axis]
+    assert h % n == 0
+    rows = h // n
+    R_shard = rows * w
+    gen = raygen_rows_body(w, h, rows)
+    entries = tuple(
+        (int(i), (int(b) if b is not None else None))
+        for i, b in plan["rounds"]
+    )
+    body = renderer._frame_body(R_shard, None, entries, False)
+
+    def local(tree, origin, right, up, forward, scale, bg):
+        i = jax.lax.axis_index(axis)
+        o, d = gen(origin, right, up, forward, scale,
+                   (i * rows).astype(jnp.float32))
+        _hit, _v, _hv, _hp, _hn, rgb, counts = body(tree, o, d, None, bg)
+        return rgb, counts
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def render_sharded(renderer: BitGridRenderer, camera, mesh: Mesh,
                    bg=(0.0, 0.0, 0.0), axis: str = "rays"):
     """Render one frame with rays data-parallel over ``mesh``; returns
