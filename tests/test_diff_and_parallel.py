@@ -512,3 +512,38 @@ def test_sharded_render_planned_march_matches_single_device(small_scene):
     np.testing.assert_allclose(
         np.asarray(rgb).reshape(single.shape), single, atol=1e-5
     )
+
+
+def test_sharded_render_planned_beam_march(small_scene):
+    """Beam-in-shard: the planned per-shard march with each shard tracing
+    its band of the beam grid (replicated beam tree) must match the
+    single-device BEAM render (beam starts are identical — a band's beam
+    tiles are a row subset of the same grid)."""
+    from voxelhex_tpu.parallel.bitgrid_sharded import (
+        record_render_shard_plan,
+        sharded_render_planned_fn,
+    )
+    from voxelhex_tpu.parallel.soft import validate_shard_counts
+    from voxelhex_tpu.render.bitgrid import BitGridRenderer
+    from voxelhex_tpu.render.camera import camera_params
+
+    r = BitGridRenderer(small_scene, max_iters=256)
+    mesh = make_ray_mesh()
+    n = mesh.shape["rays"]
+    # rows per shard must divide the beam tile: 64 rows / 8 shards = 8
+    cam = orbit_camera(small_scene.size, resolution=(64, 64))
+    plan = record_render_shard_plan(r, cam, mesh, beam=True)
+    if plan is None:
+        import pytest
+
+        pytest.skip("beam bound unavailable for this camera/scene")
+    assert plan.get("beam_key") is not None
+    fn = sharded_render_planned_fn(r, mesh, cam.resolution, plan)
+    tree_b, _ = r._beam_setup(plan["beam_key"][0])
+    bg = jnp.zeros(3, dtype=jnp.float32)
+    rgb, counts = fn(r.tree, tree_b, *camera_params(cam), bg)
+    assert validate_shard_counts(counts, plan, n)
+    single = r.render(cam, beam_prepass=True)
+    np.testing.assert_allclose(
+        np.asarray(rgb).reshape(single.shape), single, atol=1e-5
+    )

@@ -75,7 +75,8 @@ def sharded_render_cam_fn(renderer: BitGridRenderer, mesh: Mesh, resolution,
 
 
 def record_render_shard_plan(renderer: BitGridRenderer, camera, mesh: Mesh,
-                             axis: str = "rays", extra_rounds: int = 1):
+                             axis: str = "rays", extra_rounds: int = 1,
+                             beam: bool = False):
     """Record a conservative per-shard compaction schedule for
     :func:`sharded_render_cam_fn`'s planned march: each shard's row band
     traces adaptively on the current device; band schedules union into
@@ -83,23 +84,48 @@ def record_render_shard_plan(renderer: BitGridRenderer, camera, mesh: Mesh,
     round).  Returns ``{"rounds": ...}`` or None when a band's trace
     didn't converge.  Validate the sharded program's per-shard counts
     once per (plan, tree, pose) — same policy as the soft path's
-    :func:`voxelhex_tpu.parallel.soft.record_shard_plan`."""
+    :func:`voxelhex_tpu.parallel.soft.record_shard_plan`.
+
+    ``beam=True``: the BEAM PREPASS joins the per-shard march — bands
+    record with conservative beam starts (sliced from the full-frame
+    beam grid; per-shard beam tracing reproduces them exactly, since a
+    band's beam tiles are a row subset of the same grid) and the plan
+    carries a planned round-0 compaction bucket (``pre``).  Returns
+    None when the camera/scene can't satisfy the beam bound (callers
+    fall back to ``beam=False``)."""
     from voxelhex_tpu.render.camera import device_rays
 
     w, h = camera.resolution
     n = mesh.shape[axis]
     assert h % n == 0, f"{h} rows must divide the {n}-device mesh"
-    R_shard = (h // n) * w
+    rows = h // n
+    R_shard = rows * w
     o_full, d_full = device_rays(camera)
     o_full = o_full.reshape(-1, 3)
     d_full = d_full.reshape(-1, 3)
+    st_full = None
+    spec = None
+    if beam:
+        spec = renderer._beam_spec(camera)
+        if spec is None or rows % spec["key"][3] != 0:
+            return None  # no beam bound, or tile doesn't divide the band
+        st_full = renderer._beam_fn(*spec["key"])(
+            spec["tree_b"], spec["o_b"], spec["d_b"]
+        )
     band_plans = []
+    pres = []
     for i in range(n):
         sl = slice(i * R_shard, (i + 1) * R_shard)
         for key in list(renderer._plans):
             if key[0] == R_shard:
                 renderer._plans.pop(key)
-        renderer.trace_compacted(o_full[sl], d_full[sl])
+        if st_full is not None:
+            renderer.trace_compacted(
+                o_full[sl], d_full[sl], start_t=st_full[sl],
+                first_round_iters=renderer.beam_first_iters,
+            )
+        else:
+            renderer.trace_compacted(o_full[sl], d_full[sl])
         p = None
         for key, val in renderer._plans.items():
             if key[0] == R_shard:
@@ -110,6 +136,7 @@ def record_render_shard_plan(renderer: BitGridRenderer, camera, mesh: Mesh,
         if not rounds:
             return None
         band_plans.append(tuple(rounds))
+        pres.append(p.get("pre") if isinstance(p, dict) else None)
     n_rounds = max(len(r) for r in band_plans)
     rounds = []
     for k in range(n_rounds):
@@ -120,17 +147,31 @@ def record_render_shard_plan(renderer: BitGridRenderer, camera, mesh: Mesh,
         rounds.append((int(iters), bucket))
     for _ in range(int(extra_rounds)):
         rounds.append((rounds[-1][0], None))
-    return {"rounds": tuple(rounds)}
+    plan = {"rounds": tuple(rounds)}
+    if beam:
+        plan["beam_key"] = spec["key"]
+        pre = (None if any(p is None for p in pres)
+               else max(int(p) for p in pres))
+        if pre is not None:
+            plan["pre"] = pre
+    return plan
 
 
 def sharded_render_planned_fn(renderer: BitGridRenderer, mesh: Mesh,
                               resolution, plan, axis: str = "rays"):
     """Device-raygen sharded frame with the PLANNED per-shard compacted
     march (the single-chip schedule lever inside the mesh, no host
-    reads): ``fn(tree, origin, right, up, forward, scale, bg) ->
-    (rgb sharded, counts [n*C])``.  Shading rides the frame body's
+    reads): ``fn(tree[, tree_b], origin, right, up, forward, scale, bg)
+    -> (rgb sharded, counts [n*C])``.  Shading rides the frame body's
     shade-on-retire accumulator, so per-shard math matches the fused
-    single-chip frame exactly."""
+    single-chip frame exactly.
+
+    Plans recorded with ``beam=True`` carry a ``beam_key`` (+ optional
+    planned ``pre`` bucket): each shard then traces ITS band of the beam
+    grid against the replicated beam tree (``tree_b``, pass
+    ``renderer._beam_setup(plan['beam_key'][0])[0]``), computes its
+    conservative starts in-program and runs the planned round-0
+    compaction — the full single-chip beam lever on the mesh."""
     from voxelhex_tpu.render.camera import raygen_rows_body
 
     w, h = resolution
@@ -143,19 +184,45 @@ def sharded_render_planned_fn(renderer: BitGridRenderer, mesh: Mesh,
         (int(i), (int(b) if b is not None else None))
         for i, b in plan["rounds"]
     )
-    body = renderer._frame_body(R_shard, None, entries, False)
+    beam_key = plan.get("beam_key")
+    if beam_key is None:
+        body = renderer._frame_body(R_shard, None, entries, False)
 
-    def local(tree, origin, right, up, forward, scale, bg):
-        i = jax.lax.axis_index(axis)
-        o, d = gen(origin, right, up, forward, scale,
-                   (i * rows).astype(jnp.float32))
-        _hit, _v, _hv, _hp, _hn, rgb, counts = body(tree, o, d, None, bg)
-        return rgb, counts
+        def local(tree, origin, right, up, forward, scale, bg):
+            i = jax.lax.axis_index(axis)
+            o, d = gen(origin, right, up, forward, scale,
+                       (i * rows).astype(jnp.float32))
+            _hit, _v, _hv, _hp, _hn, rgb, counts = body(tree, o, d, None,
+                                                        bg)
+            return rgb, counts
+
+        in_specs = (P(), P(), P(), P(), P(), P(), P())
+    else:
+        L, th, tw, tile = beam_key
+        assert rows % tile == 0
+        th_shard = rows // tile
+        preb = plan.get("pre")
+        preb = int(preb) if preb is not None else None
+        body = renderer._frame_body(R_shard, preb, entries, True)
+        beam_body = renderer._beam_body(L, th_shard, tw, tile)
+        gen_beam = raygen_rows_body(w // tile, h // tile, th_shard)
+
+        def local(tree, tree_b, origin, right, up, forward, scale, bg):
+            i = jax.lax.axis_index(axis)
+            o, d = gen(origin, right, up, forward, scale,
+                       (i * rows).astype(jnp.float32))
+            o_b, d_b = gen_beam(origin, right, up, forward, scale,
+                                (i * th_shard).astype(jnp.float32))
+            st = beam_body(tree_b, o_b, d_b)
+            _hit, _v, _hv, _hp, _hn, rgb, counts = body(tree, o, d, st, bg)
+            return rgb, counts
+
+        in_specs = (P(), P(), P(), P(), P(), P(), P(), P())
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        in_specs=in_specs,
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     )

@@ -235,13 +235,18 @@ def record_shard_plan(soft: SoftRenderer, camera, mesh: Mesh,
 
 def validate_shard_counts(counts, plan, n_shards: int) -> bool:
     """Check a planned sharded march's per-shard straggler counts: True
-    when every shard's compaction buckets held and every shard finished
-    (exactness gate for the plan; one small host read)."""
+    when every shard's compaction buckets held (including a planned
+    round-0 ``pre`` bucket, when the plan carries one) and every shard
+    finished (exactness gate for the plan; one small host read)."""
     entries = tuple(plan["rounds"])
-    c = np.asarray(counts).reshape(n_shards, len(entries))
+    pre = plan.get("pre")
+    off = 1 if pre is not None else 0
+    c = np.asarray(counts).reshape(n_shards, off + len(entries))
     for s in range(n_shards):
+        if pre is not None and int(c[s, 0]) > int(pre):
+            return False
         for k, (_iters, bucket) in enumerate(entries):
-            if bucket is not None and int(c[s, k]) > bucket:
+            if bucket is not None and int(c[s, off + k]) > bucket:
                 return False
         if int(c[s, -1]) != 0:
             return False
