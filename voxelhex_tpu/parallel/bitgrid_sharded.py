@@ -137,17 +137,9 @@ def record_render_shard_plan(renderer: BitGridRenderer, camera, mesh: Mesh,
             return None
         band_plans.append(tuple(rounds))
         pres.append(p.get("pre") if isinstance(p, dict) else None)
-    n_rounds = max(len(r) for r in band_plans)
-    rounds = []
-    for k in range(n_rounds):
-        live = [r[k] for r in band_plans if k < len(r)]
-        iters = max(it for it, _b in live)
-        buckets = [b for _it, b in live]
-        bucket = None if any(b is None for b in buckets) else max(buckets)
-        rounds.append((int(iters), bucket))
-    for _ in range(int(extra_rounds)):
-        rounds.append((rounds[-1][0], None))
-    plan = {"rounds": tuple(rounds)}
+    from voxelhex_tpu.parallel.soft import union_band_plans
+
+    plan = {"rounds": union_band_plans(band_plans, extra_rounds)}
     if beam:
         plan["beam_key"] = spec["key"]
         pre = (None if any(p is None for p in pres)

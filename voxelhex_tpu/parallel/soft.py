@@ -184,6 +184,27 @@ def sharded_soft_trace_fn(soft: SoftRenderer, mesh: Mesh, resolution,
     return jax.jit(fn)
 
 
+def union_band_plans(band_plans, extra_rounds: int = 1):
+    """Union per-band (iters, bucket) schedules into one static ladder:
+    per-round iters/bucket = max over the bands still running that round
+    (a band that finished early adds no constraint; any band without a
+    compaction that round forces None), padded with ``extra_rounds``
+    uncompacted safety rounds (a round's while_loop only runs live
+    iterations, so padding is ~free).  Shared by the soft and render
+    per-shard plan recorders."""
+    n_rounds = max(len(r) for r in band_plans)
+    rounds = []
+    for k in range(n_rounds):
+        live = [r[k] for r in band_plans if k < len(r)]
+        iters = max(it for it, _b in live)
+        buckets = [b for _it, b in live]
+        bucket = None if any(b is None for b in buckets) else max(buckets)
+        rounds.append((int(iters), bucket))
+    for _ in range(int(extra_rounds)):
+        rounds.append((rounds[-1][0], None))
+    return tuple(rounds)
+
+
 def record_shard_plan(soft: SoftRenderer, camera, mesh: Mesh,
                       axis_name: str = "rays", extra_rounds: int = 1):
     """Record a conservative PER-SHARD multi-hit schedule for
@@ -220,17 +241,7 @@ def record_shard_plan(soft: SoftRenderer, camera, mesh: Mesh,
         if p is None:
             return None  # band didn't converge within the iter budget
         band_plans.append(tuple(p["rounds"]))
-    n_rounds = max(len(r) for r in band_plans)
-    rounds = []
-    for k in range(n_rounds):
-        live = [r[k] for r in band_plans if k < len(r)]
-        iters = max(it for it, _b in live)
-        buckets = [b for _it, b in live]
-        bucket = None if any(b is None for b in buckets) else max(buckets)
-        rounds.append((int(iters), bucket))
-    for _ in range(int(extra_rounds)):
-        rounds.append((rounds[-1][0], None))
-    return {"rounds": tuple(rounds)}
+    return {"rounds": union_band_plans(band_plans, extra_rounds)}
 
 
 def validate_shard_counts(counts, plan, n_shards: int) -> bool:
