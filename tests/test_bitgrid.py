@@ -758,3 +758,78 @@ def test_render_many_pose_validation_skip():
     b2 = rf.render_many(cams, out_u8=True)
     assert rf.last_stats.get("pose_validated")
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_render_delta_many_static_pose_shares_frames():
+    """render_delta_many: a steady pose fetches the frame ONCE (the
+    self-priming batch), then every later frame arrives as an 8-byte
+    digest and the host reuses the same ndarray — pixels bit-identical to
+    the plain per-frame render throughout."""
+    tree = make_scene(64, 4, seed=7)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    # no plan yet: the delta path declines
+    assert rf.render_delta_many([cam, cam]) is None
+    plain = r.render(cam, out_u8=True)
+    for _ in range(3):  # record + stabilize + fuse
+        rf.render(cam, out_u8=True)
+    f1 = rf.render_delta_many([cam, cam, cam])
+    assert f1 is not None and len(f1) == 3
+    assert rf.last_stats.get("delta") and rf.last_stats["delta_fetched"] == 1
+    assert f1[1] is f1[0] and f1[2] is f1[0]  # digest-only frames share
+    np.testing.assert_array_equal(f1[0], plain)
+    # second batch: pose-validated, NOTHING fetched, same baseline array
+    f2 = rf.render_delta_many([cam, cam, cam])
+    assert rf.last_stats.get("pose_validated")
+    assert rf.last_stats["delta_fetched"] == 0
+    assert f2[0] is f1[0]
+    # content-change hook voids the baseline: the next batch re-fetches
+    rf.invalidate_beam()
+    f3 = rf.render_delta_many([cam, cam])
+    assert rf.last_stats["delta_fetched"] == 1
+    assert not rf.last_stats.get("pose_validated")
+    np.testing.assert_array_equal(f3[0], plain)
+
+
+def test_render_delta_many_mixed_poses_exact():
+    """A mixed-pose batch fetches exactly the frames whose pixels moved
+    and every delivered frame equals the per-frame render bit-for-bit."""
+    tree = make_scene(64, 4, seed=7)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    a = orbit_camera(64.0, yaw_deg=20.0, resolution=(160, 120))
+    b = orbit_camera(64.0, yaw_deg=24.0, resolution=(160, 120))
+    want_a = r.render(a, out_u8=True)
+    want_b = r.render(b, out_u8=True)
+    for _ in range(3):
+        rf.render(a, out_u8=True)
+    frames = rf.render_delta_many([a, a, b, b])
+    assert frames is not None
+    # frame 0 primes, frame 2 changes pose; 1 and 3 ride the digests
+    assert rf.last_stats["delta_fetched"] == 2
+    np.testing.assert_array_equal(frames[0], want_a)
+    assert frames[1] is frames[0]
+    np.testing.assert_array_equal(frames[2], want_b)
+    assert frames[3] is frames[2]
+    # next batch deltas against the LAST frame (pose b): a moved, b not
+    frames2 = rf.render_delta_many([b, a])
+    assert frames2 is not None and rf.last_stats["delta_fetched"] == 1
+    np.testing.assert_array_equal(frames2[0], want_b)
+    np.testing.assert_array_equal(frames2[1], want_a)
+
+
+def test_render_delta_many_beam_variant():
+    """Beam-fused delta batches stay bit-identical to plain renders."""
+    tree = make_scene(64, 4, seed=7)
+    r = BitGridRenderer(tree)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    for _ in range(3):
+        rf.render(cam, beam_prepass=True, out_u8=True)
+    frames = rf.render_delta_many([cam, cam], beam_prepass=True)
+    if frames is None:  # beam spec can decline on tiny scenes
+        pytest.skip("beam spec declined")
+    assert rf.last_stats.get("beam_fused")
+    np.testing.assert_array_equal(frames[0], r.render(cam, out_u8=True))
+    assert frames[1] is frames[0]

@@ -1177,6 +1177,13 @@ class BitGridRenderer:
                          "apply_perm": _apply_perm, "finish": _finish}
         self._fused_fns = {}
         self._frame_validated = None  # last validated (plan, tree, pose)
+        # delta-frame streaming state (render_delta_many): the previous
+        # frame kept BOTH on device (the compare operand inside the scanned
+        # program) and on host (the reconstruction base) — unchanged frames
+        # then cost an 8-byte digest of host traffic instead of the full
+        # [h*w*3] u8 payload
+        self._delta_state = None  # (token, prev_dev [R,3] u8, prev_host)
+        self._delta_validated = None  # token whose reconstruction verified
         self._shade_only = jax.jit(
             lambda tree, hit, voxel, normal, bgc: _shade(tree, hit, voxel, normal, bgc)
         )
@@ -1437,6 +1444,9 @@ class BitGridRenderer:
         token's id(self.tree) would not catch it."""
         self._beam_cache.clear()
         self._frame_validated = None
+        # the delta stream's previous-frame baseline is scene content too
+        self._delta_state = None
+        self._delta_validated = None
 
     def _beam_setup(self, L):
         """(device tree, tracer) over the 3^3-dilated level-L cell grid with
@@ -2141,15 +2151,18 @@ class BitGridRenderer:
                 rgbs = rgbs.reshape(K, h, w, 3)
                 return rgbs if out_device else np.asarray(rgbs)
             counts_h = np.asarray(counts)  # ONE blocking read for K frames
-            rounds = pre = None
-            for k in range(K):
-                bad, rounds, pre, _tot = self._counts_verdict(
-                    counts_h[k], preb, entries, R
-                )
-                if bad:
-                    self._plans.pop(plan_key, None)
-                    self._frame_validated = None
-                    return None  # caller re-renders per frame, re-plans
+            # fold the K frames' counts by per-column MAX before the verdict:
+            # every overflow check is monotone in the counts, so the max
+            # catches any frame's overflow, and the re-recorded plan is the
+            # UNION of all K frames' observed occupancy (a mixed-pose batch
+            # must not tighten buckets to only the last pose's counts)
+            bad, rounds, pre, _tot = self._counts_verdict(
+                counts_h.max(axis=0), preb, entries, R
+            )
+            if bad:
+                self._plans.pop(plan_key, None)
+                self._frame_validated = None
+                return None  # caller re-renders per frame, re-plans
             self._frame_validated = token
             self._record_plan(plan_key, plan_from_rounds(rounds, pre=pre))
             self.last_stats = {
@@ -2163,6 +2176,221 @@ class BitGridRenderer:
             }
             rgbs = rgbs.reshape(K, h, w, 3)
             return rgbs if out_device else np.asarray(rgbs)
+
+    def _fused_delta_fn(self, R, preb, entries, has_start, beam_key, cam, K):
+        """K planned u8 frames as ONE jitted program WITH device-side
+        frame-delta digests: the scan carries the previous frame and each
+        iteration emits ``ndiff[k]`` — the count of pixels that differ
+        from the frame before it (frame 0 compares against the carried-in
+        ``prev``).  Returns ``fn(tree[, tree_b], prev [R,3] u8, origins,
+        rights, ups, forwards, scales, bgc) -> (last [R,3] u8,
+        rgbs [K,R,3] u8, ndiffs [K] i32, counts [K,C])``.
+
+        The digests make the HOST transfer proportional to change: a
+        steady pose (idle viewer, throughput bench, param re-render) moves
+        K x 4 bytes per batch instead of K x R x 3 — the reference never
+        round-trips frames at all (its output stays in a GPU texture,
+        /root/reference/src/raytracing/bevy/pipeline/mod.rs:116-154), and
+        through a ~30 MB/s tunnel the 6 MB 1080p payload is ~200 ms/frame
+        (PERF.md transfer discipline), so this is the TPU-serving analog.
+        ``rgbs`` stays on device; the caller fetches only changed frames."""
+        key = (R, preb, entries, has_start, beam_key, cam, K, "delta")
+        fn = self._fused_fns.get(key)
+        if fn is not None:
+            return fn
+        from voxelhex_tpu.render.camera import raygen_body
+
+        build = self._frame_body(R, preb, entries, has_start, u8=True)
+        w, h = cam
+        gen_main = raygen_body(w, h)
+
+        def _ndiff(rgb, prev):
+            return jnp.sum(jnp.any(rgb != prev, axis=1).astype(I32))
+
+        if beam_key is not None:
+            beam_body = self._beam_body(*beam_key)
+            tile = beam_key[3]
+            gen_beam = raygen_body(w // tile, h // tile)
+
+            def fn_delta(tree, tree_b, prev, origins, rights, ups,
+                         forwards, scales, bgc):
+                def one(prev, xs):
+                    origin, right, up, forward, scale = xs
+                    o, dv = gen_main(origin, right, up, forward, scale)
+                    o_b, d_b = gen_beam(origin, right, up, forward, scale)
+                    out = build(tree, o, dv, beam_body(tree_b, o_b, d_b),
+                                bgc)
+                    rgb = out[5]
+                    return rgb, (rgb, _ndiff(rgb, prev), out[6])
+
+                last, (rgbs, ndiffs, counts) = jax.lax.scan(
+                    one, prev, (origins, rights, ups, forwards, scales)
+                )
+                return last, rgbs, ndiffs, counts
+        else:
+
+            def fn_delta(tree, prev, origins, rights, ups, forwards,
+                         scales, bgc):
+                def one(prev, xs):
+                    origin, right, up, forward, scale = xs
+                    o, dv = gen_main(origin, right, up, forward, scale)
+                    out = build(tree, o, dv, None, bgc)
+                    rgb = out[5]
+                    return rgb, (rgb, _ndiff(rgb, prev), out[6])
+
+                last, (rgbs, ndiffs, counts) = jax.lax.scan(
+                    one, prev, (origins, rights, ups, forwards, scales)
+                )
+                return last, rgbs, ndiffs, counts
+
+        fn = jax.jit(fn_delta)
+        self._fused_fns[key] = fn
+        return fn
+
+    def render_delta_many(self, cameras, bg=(0.0, 0.0, 0.0),
+                          beam_prepass: bool = False):
+        """Render K same-resolution u8 frames as ONE dispatch, fetching
+        only frames that CHANGED (device-side per-frame diff against the
+        previous frame — :meth:`_fused_delta_fn`).  Returns a list of K
+        ``[h, w, 3]`` u8 ndarrays, where consecutive identical frames are
+        literally the SAME ndarray object (treat them as read-only), or
+        ``None`` when the path is unavailable (same gates as
+        :meth:`render_many`: no stable plan, overflow, beam spec missing,
+        mixed resolutions).
+
+        Exactness: frames come from the identical planned frame body as
+        :meth:`render` / :meth:`render_many` (counts-validated, overflow
+        falls back), the diff runs on the final u8 pixels on device, and
+        the first batch per (plan, tree) additionally fetches the last
+        frame in full and verifies the host reconstruction byte-for-byte
+        before the digest path is trusted.  Scene-content changes void the
+        baseline through :meth:`invalidate_beam` (the same hook that voids
+        the validated-pose token)."""
+        cameras = list(cameras)
+        if not cameras or not self.fuse_plan:
+            return None
+        w, h = cameras[0].resolution
+        if any(tuple(c.resolution) != (w, h) for c in cameras):
+            return None
+        with self._render_lock:
+            import time as _time
+
+            from voxelhex_tpu.render.camera import camera_params
+
+            t_start = _time.time()
+            bgc = jnp.asarray(bg, dtype=F32)
+            R = w * h
+            spec = (self._beam_spec(cameras[0], with_rays=False)
+                    if beam_prepass else None)
+            if beam_prepass and spec is None:
+                return None
+            has_start = spec is not None
+            first_iters = self.beam_first_iters if has_start else None
+            plan_key = (R, has_start, 14, first_iters)
+            plan = self._plans.get(plan_key)
+            if plan is not None and not isinstance(plan, dict):
+                plan = {"pre": None, "rounds": plan}
+            if (plan is None or not plan.get("complete", True)
+                    or not plan.get("rounds")):
+                return None
+            entries = tuple(
+                (int(i), (int(b) if b is not None else None))
+                for i, b in plan["rounds"]
+            )
+            preb = (int(plan["pre"])
+                    if (plan.get("pre") and has_start) else None)
+            beam_key = spec["key"] if spec is not None else None
+            K = len(cameras)
+            fkey = (R, preb, entries, has_start, beam_key, (w, h), K,
+                    "delta")
+            if fkey not in self._fused_fns and (
+                    self._plan_streak.get(plan_key, 0) < 1
+                    or len(self._fused_fns) >= self.fuse_compile_cap):
+                return None  # plan not stable yet (or compile budget spent)
+            fn = self._fused_delta_fn(
+                R, preb, entries, has_start, beam_key, (w, h), K
+            )
+            # the baseline is specific to (plan program, tree, bg) — NOT
+            # the pose: any pose sequence deltas against any other
+            dtoken = (R, preb, entries, has_start, beam_key, (w, h),
+                      id(self.tree), tuple(bg) if bg is not None else None)
+            state = self._delta_state
+            if state is None or state[0] != dtoken:
+                # self-priming: an all-zero baseline makes frame 0 report
+                # changed, so the first batch fetches it in full
+                prev_dev = jnp.zeros((R, 3), dtype=jnp.uint8)
+                prev_host = None
+            else:
+                prev_dev, prev_host = state[1], state[2]
+            stacked = [
+                jnp.stack(col)
+                for col in zip(*(camera_params(c) for c in cameras))
+            ]
+            token = (
+                fkey, id(self.tree),
+                tuple(
+                    (tuple(np.asarray(c.origin, dtype=np.float32)),
+                     tuple(np.asarray(c.target, dtype=np.float32)),
+                     tuple(np.asarray(c.up, dtype=np.float32)),
+                     float(c.fov_y_deg))
+                    for c in cameras
+                ),
+                tuple(bg) if bg is not None else None,
+            )
+            if spec is not None:
+                last, rgbs, ndiffs, counts = fn(
+                    self.tree, spec["tree_b"], prev_dev, *stacked, bgc
+                )
+            else:
+                last, rgbs, ndiffs, counts = fn(
+                    self.tree, prev_dev, *stacked, bgc
+                )
+            pose_validated = token == self._frame_validated
+            if pose_validated:
+                nd = np.asarray(ndiffs)  # the batch's one tiny read
+            else:
+                nd, counts_h = jax.device_get((ndiffs, counts))
+                bad, rounds, pre, _tot = self._counts_verdict(
+                    counts_h.max(axis=0), preb, entries, R
+                )
+                if bad:
+                    self._plans.pop(plan_key, None)
+                    self._frame_validated = None
+                    self._delta_state = None
+                    return None  # caller re-renders per frame, re-plans
+                self._frame_validated = token
+                self._record_plan(plan_key, plan_from_rounds(rounds,
+                                                             pre=pre))
+            # host reconstruction: fetch ONLY frames whose digest moved
+            frames = []
+            cur = prev_host
+            fetched = 0
+            for k in range(int(K)):
+                if int(nd[k]) != 0 or cur is None:
+                    cur = np.asarray(rgbs[k]).reshape(h, w, 3)
+                    fetched += 1
+                frames.append(cur)
+            if self._delta_validated != dtoken:
+                # one-time exactness gate per (plan, tree): the digest
+                # path's reconstructed last frame must equal the program's
+                # actual last frame byte-for-byte
+                check = np.asarray(last).reshape(h, w, 3)
+                if not np.array_equal(frames[-1], check):  # pragma: no cover
+                    self._delta_state = None
+                    raise AssertionError(
+                        "render_delta_many: reconstruction mismatch"
+                    )
+                self._delta_validated = dtoken
+            self._delta_state = (dtoken, last, frames[-1])
+            self.last_stats = {
+                "rays": int(R) * K, "planned": True, "fused": True,
+                "frame_fused": True, "batched_frames": K, "delta": True,
+                "delta_fetched": fetched,
+                "beam_fused": spec is not None,
+                "pose_validated": pose_validated,
+                "trace_seconds": round(_time.time() - t_start, 4),
+            }
+            return frames
 
     def _trace_fused(self, origins, directions, o, dv, st, plan_pre,
                      plan_rounds, shade_bg, plan_key, start_t, round_iters,
