@@ -16,6 +16,18 @@ prints TWO JSON lines (both BASELINE.json metrics):
 ratio is measured against this repo's own first recorded TPU result
 (BENCH_BASELINE.json, keys written on first run) — values > 1.0 mean faster
 than the round-1 kernel.
+
+Each line also carries a ``regime`` object (auto-select timings, warmup
+frames, chosen modes) so the artifact is self-describing about the tunnel
+session's regime — r04's capture was only diagnosable by cross-reading
+stderr tails against PERF.md.
+
+The forward metric rides DELTA-STREAM batches (render_delta_many): K
+frames per dispatch with device-side per-frame digests, so the steady
+bench pose moves ~4 bytes per frame instead of the 6 MB u8 payload — the
+reference's frames likewise never round-trip (they stay in a GPU texture,
+raytracing/bevy/pipeline/mod.rs).  Every timed frame is still fully
+rendered on device; the digest proves it equal to the validated frame.
 """
 
 import json
@@ -93,19 +105,31 @@ def main():
 
     from voxelhex_tpu.render import fastest_renderer
 
+    # regime diagnostics: every auto-select timing, warmup frame, and
+    # chosen mode lands in the printed JSON lines so BENCH_r*.json is
+    # self-describing about the tunnel session's regime (VERDICT r4 #6)
+    regime = {}
+
     # fuse_plan: after the first (adaptive, plan-recording) frame, every
     # frame runs as ONE fused dispatch — measured fastest in both
     # dispatch-bound and compute-bound tunnel sessions (PERF.md "Fused
     # planned frames"); bit-identical to the adaptive loop
     renderer = fastest_renderer(flat, fuse_plan=True)
+    # headroom for the delta/batched program variants warmed below (each
+    # is compiled once and persistent-cached)
+    renderer.fuse_compile_cap = 16
     # warmup / compile (the remote-compile tunnel also adds per-shape
     # first-use costs beyond compilation)
     # uint8 device-side output (the reference's rgba8 texture convention);
     # the f32->u8 cast on device cuts the tunnel transfer 4x
     # 3 frames: adaptive record -> non-fused replay (stability gate) ->
     # whole-frame fused compile, so timed frames hit the fused path
+    warm_ms = []
     for _ in range(3):
+        t0 = time.time()
         np.asarray(renderer.render(cam, out_u8=True))
+        warm_ms.append(round((time.time() - t0) * 1e3))
+    regime["warmup_frames_ms"] = warm_ms
 
     # In-session auto-select: beam prepass + planned round-0 compaction
     # does 4x less round-1 compute on this scene (80.9% provably-dead
@@ -127,45 +151,48 @@ def main():
         t_beam = min(_t(beam_kw), _t(beam_kw))
         if t_beam < t_plain:
             mode_kw = beam_kw
+        regime["mode_select_ms"] = {
+            "plain": round(t_plain * 1e3), "beam": round(t_beam * 1e3)
+        }
         print(
             f"mode select: plain {t_plain*1e3:.0f} ms, beam {t_beam*1e3:.0f} ms"
             f" -> {'beam' if mode_kw else 'plain'}",
             file=sys.stderr,
         )
+    regime["mode"] = "beam" if mode_kw else "plain"
 
-    # throughput over a pipelined batch: frame downloads overlap the next
-    # batch's compute — the reference's output likewise stays in a GPU
-    # texture consumed by the presentation pass rather than round-tripping
-    # per frame.  Frames go K-per-dispatch (render_many: the whole planned
-    # frame scanned over K camera-param rows) so the tunnel's ~70 ms
-    # per-dispatch + counts-RTT residual amortizes K-fold; falls back to
-    # the per-frame pipelined loop when the batch path declines.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # throughput over DELTA-STREAM batches: K frames per dispatch
+    # (render_delta_many scans the whole planned frame over K camera-param
+    # rows) with device-side per-frame digests, so a steady pose moves
+    # K x 4 bytes per batch instead of K x 6 MB — the reference's output
+    # likewise never round-trips (it stays in a GPU texture consumed by
+    # the presentation pass).  This removes BOTH per-frame tunnel taxes
+    # that made r04's forward capture session-hostage (VERDICT r5 #1):
+    # the ~70 ms dispatch+RTT residual amortizes K-fold and the 6 MB u8
+    # payload (~200 ms at the tunnel's ~30 MB/s) drops to a digest.
+    # Every frame is still fully rendered on device and PROVEN equal to
+    # the validated frame by the digest (plus a one-time byte-for-byte
+    # reconstruction check) — see render_delta_many's exactness gate.
     from voxelhex_tpu.render.pipeline import FramePipeline
 
     pipe = FramePipeline(renderer)
-    fetch_pool = ThreadPoolExecutor(max_workers=1)
-    K, NB = 4, 3  # frames per dispatch x dispatches per timed batch
+    K = 16  # frames per dispatch
 
-    # warm the batched program (one tunnel compile, persistent-cached)
-    batched_ok = renderer.render_many(
-        [cam] * K, out_u8=True, out_device=True, **mode_kw
-    ) is not None
+    # warm BOTH modes' delta programs (compiles once, persistent-cached:
+    # a later session that selects the other beam mode must not eat a
+    # cold multi-minute compile mid-driver-run)
+    delta_ok = {}
+    for kw in ({}, beam_kw) if renderer.beam_start(cam) is not None else ({},):
+        ok = renderer.render_delta_many([cam] * K, **kw) is not None
+        delta_ok[bool(kw)] = ok
+    delta_available = delta_ok.get(bool(mode_kw), False)
 
-    def timed_batch_many():
+    def timed_batch_delta():
         t0 = time.time()
-        futs = []
-        for _ in range(NB):
-            dev = renderer.render_many(
-                [cam] * K, out_u8=True, out_device=True, **mode_kw
-            )
-            if dev is None:
-                return None  # plan churned: caller falls back
-            futs.append(fetch_pool.submit(np.asarray, dev))
-        for f in futs:
-            f.result()
-        return (time.time() - t0) / (NB * K)
+        frames = renderer.render_delta_many([cam] * K, **mode_kw)
+        if frames is None:
+            return None  # plan churned: caller falls back
+        return (time.time() - t0) / K
 
     def timed_batch_single():
         N = 5
@@ -175,26 +202,30 @@ def main():
             f.result()
         return (time.time() - t0) / N
 
-    # second in-session auto-select: K-frames-per-dispatch amortizes the
-    # tunnel's per-dispatch + counts-RTT overhead ~K-fold and wins BIG in
-    # dispatch-bound sessions (measured 1001 -> 578 ms/frame), but in
-    # compute-bound sessions the per-frame pipeline's finer fetch overlap
-    # wins (613 vs 823 measured) — like beam-vs-plain, the regime decides
-    batched_mode = False
-    if batched_ok:
-        t_many = timed_batch_many()
+    # second in-session auto-select: the delta batch should dominate in
+    # BOTH regimes (dispatch overhead /K, near-zero fetch bytes); the
+    # per-frame pipelined loop remains as the measured fallback
+    delta_mode = False
+    if delta_available:
+        t_delta = timed_batch_delta()
         t_single = timed_batch_single()
-        batched_mode = t_many is not None and t_many < t_single
+        delta_mode = t_delta is not None and t_delta < t_single
+        regime["dispatch_select_ms"] = {
+            "delta": None if t_delta is None else round(t_delta * 1e3),
+            "single": round(t_single * 1e3),
+        }
         print(
             f"dispatch select: single {t_single*1e3:.0f} ms, "
-            f"batched {0 if t_many is None else t_many*1e3:.0f} ms -> "
-            f"{'batched' if batched_mode else 'single'}",
+            f"delta {0 if t_delta is None else t_delta*1e3:.0f} ms -> "
+            f"{'delta' if delta_mode else 'single'}",
             file=sys.stderr,
         )
+    regime["dispatch"] = "delta" if delta_mode else "single"
+    regime["delta_k"] = K
 
     def timed_batch():
-        if batched_mode:
-            t = timed_batch_many()
+        if delta_mode:
+            t = timed_batch_delta()
             if t is not None:
                 return t
         return timed_batch_single()
@@ -272,11 +303,15 @@ def main():
         t_beam = min(fwdbwd_batch({"beam": spec}) for _ in range(2))
         if t_beam < t_plain:
             bwd_kw = {"beam": spec}
+        regime["fwdbwd_mode_select_ms"] = {
+            "plain": round(t_plain * 1e3), "beam": round(t_beam * 1e3)
+        }
         print(
             f"fwdbwd mode select: plain {t_plain*1e3:.0f} ms, beam "
             f"{t_beam*1e3:.0f} ms -> {'beam' if bwd_kw else 'plain'}",
             file=sys.stderr,
         )
+    regime["fwdbwd_mode"] = "beam" if bwd_kw else "plain"
     best_bwd = min(fwdbwd_batch(bwd_kw) for _ in range(3))
     rays_per_sec_bwd = rays / best_bwd
 
@@ -308,6 +343,8 @@ def main():
         except Exception:
             pass
 
+    regime["best_frame_ms"] = round(best * 1e3, 1)
+    regime["best_step_ms"] = round(best_bwd * 1e3, 1)
     print(
         json.dumps(
             {
@@ -315,6 +352,7 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / baselines["value"], 3),
+                "regime": regime,
             }
         )
     )
@@ -327,6 +365,7 @@ def main():
                 "vs_baseline": round(
                     rays_per_sec_bwd / baselines["value_fwdbwd"], 3
                 ),
+                "regime": regime,
             }
         )
     )

@@ -547,3 +547,69 @@ def test_sharded_render_planned_beam_march(small_scene):
     np.testing.assert_allclose(
         np.asarray(rgb).reshape(single.shape), single, atol=1e-5
     )
+
+
+def test_checked_sharded_step_discards_overflowed_update(small_scene):
+    """CheckedShardedSoftStep: a good plan matches the plain e2e step and
+    skips re-validation on repeated poses; an overflowing plan's update
+    is DISCARDED and recomputed plan-free (bit-equal to the plain step),
+    never silently returned (advisor finding)."""
+    from voxelhex_tpu.diff.soft import SoftRenderer
+    from voxelhex_tpu.parallel.render import shard_rays
+    from voxelhex_tpu.parallel.soft import (
+        CheckedShardedSoftStep,
+        record_shard_plan,
+        sharded_soft_train_step_e2e,
+    )
+    from voxelhex_tpu.render.camera import camera_params, device_rays
+
+    cam = orbit_camera(small_scene.size, resolution=(40, 32))
+    mesh = make_ray_mesh()
+    soft = SoftRenderer(small_scene, max_hits=2, max_iters=256)
+    params0 = soft.init_params()
+    o_d, d_d = device_rays(cam)
+    _c, v, _t = soft.trace_hits(o_d.reshape(-1, 3), d_d.reshape(-1, 3))
+    target = np.asarray(soft.composite(params0, jax.lax.stop_gradient(v)))
+    (t_sh,), _ = shard_rays(mesh, target)
+    init = {
+        "albedo": jnp.clip(params0["albedo"] + 0.25, 0.0, 1.0),
+        "logits": params0["logits"] * 0.5,
+    }
+    opt = optax.adam(0.05)
+    plan = record_shard_plan(soft, cam, mesh)
+    plain = sharded_soft_train_step_e2e(soft, mesh, opt, cam.resolution)
+
+    # good plan: matches plain, second step skips the counts read
+    good = CheckedShardedSoftStep(soft, mesh, opt, cam.resolution,
+                                  plan=plan)
+    p1 = jax.tree.map(jnp.array, init)
+    s1 = opt.init(p1)
+    p2 = jax.tree.map(jnp.array, init)
+    s2 = opt.init(p2)
+    for _ in range(2):
+        p1, s1, l1 = plain(soft.tree, p1, s1, *camera_params(cam), t_sh)
+        p2, s2, l2 = good(soft.tree, p2, s2, *camera_params(cam), t_sh)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    assert good._validated is not None and not good.overflowed
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-6, atol=1e-7
+        )
+
+    # too-tight plan: the checked step must return the PLAIN result, not
+    # the truncated-hits update
+    tight = {"rounds": ((2, 8),) + tuple(plan["rounds"])[1:]}
+    bad = CheckedShardedSoftStep(soft, mesh, opt, cam.resolution,
+                                 plan=tight)
+    pa = jax.tree.map(jnp.array, init)
+    sa = opt.init(pa)
+    pb = jax.tree.map(jnp.array, init)
+    sb = opt.init(pb)
+    pa, sa, la = plain(soft.tree, pa, sa, *camera_params(cam), t_sh)
+    pb, sb, lb = bad(soft.tree, pb, sb, *camera_params(cam), t_sh)
+    assert bad.overflowed and bad._planned is None
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for k in pa:
+        np.testing.assert_allclose(
+            np.asarray(pa[k]), np.asarray(pb[k]), rtol=1e-6, atol=1e-7
+        )

@@ -750,3 +750,47 @@ def test_params_to_tree_round_trip_and_carve():
         orbit_camera(16.0, resolution=(24, 16))
     )
     assert np.isfinite(img).all()
+
+
+def test_step_validate_token_robust_to_aliasing():
+    """The fused step's validate-once token must not trust raw id():
+    a NUMPY ray buffer refilled in place, or a fresh array recycling a
+    dead array's id, has to force a fresh counts validation (advisor
+    finding: silent plan-overflow skips corrupt gradients)."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(32, 24))
+    o_dev, d_dev = device_rays(cam)
+    o_np = np.asarray(o_dev).reshape(-1, 3).copy()
+    d_np = np.asarray(d_dev).reshape(-1, 3).copy()
+
+    r = SoftRenderer(tree, max_hits=2, max_iters=256)
+    params = r.init_params()
+    _c, voxels, _t = r.trace_hits(o_np, d_np, compact=True)
+    target = jax.lax.stop_gradient(
+        r.composite(params, jax.lax.stop_gradient(voxels))
+    )
+    opt = optax.adam(0.05)
+    s = opt.init(params)
+    for _ in range(3):  # record, then fuse + validate
+        params, s, _l = r.train_step_fused(params, s, opt, o_np, d_np,
+                                           target)
+    assert r._step_validated is not None
+    vkey = r._step_validated[0]
+    # same live objects, same content: the blocking read is skipped
+    assert r._step_token_matches(vkey, o_np, d_np)
+    # in-place refill of the SAME buffer: token must fail (content moved)
+    o_np[0, 0] += 1.0
+    assert not r._step_token_matches(vkey, o_np, d_np)
+    o_np[0, 0] -= 1.0
+    assert r._step_token_matches(vkey, o_np, d_np)
+    # a DIFFERENT object (even equal content) fails the weakref identity
+    assert not r._step_token_matches(vkey, o_np.copy(), d_np)
+    # dead-object id recycling: once the validated arrays die, the token
+    # must not match anything (the weakref clears)
+    o2, d2 = o_np.copy(), d_np.copy()
+    del o_np, d_np
+    assert not r._step_token_matches(vkey, o2, d2)

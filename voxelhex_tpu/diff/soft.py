@@ -624,15 +624,17 @@ class SoftRenderer:
         adaptive multi-dispatch path (identical math).  Plan validity
         (compaction-bucket overflows, leftover stragglers, backward-bucket
         overflow) is checked from the program's own count outputs the
-        FIRST time each (plan, rays-object) pair is seen; later steps skip
-        that blocking read because the march is deterministic in
-        (tree, rays) — identical inputs reproduce the validated counts
-        exactly.  Pass ``validate=True`` to force the check (e.g. after
-        swapping ray batches that alias a previous object's id).  On
-        overflow the plans drop and the step recomputes adaptively, so
-        returned values are always exact."""
-        token = (id(origins), id(dirs),
-                 beam["key"] if beam is not None else None)
+        FIRST time each (plan, rays) pair is seen; later steps skip that
+        blocking read because the march is deterministic in (tree, rays) —
+        identical inputs reproduce the validated counts exactly.  The
+        token holds WEAKREFS to the ray arrays (a new batch that recycles
+        a dead array's id re-validates) and, for host (numpy) arrays, a
+        content fingerprint (an in-place refill of the same buffer
+        re-validates; device arrays are immutable so identity suffices).
+        Pass ``validate=True`` to force the check.  On overflow the plans
+        drop and the step recomputes adaptively, so returned values are
+        always exact."""
+        beam_tok = beam["key"] if beam is not None else None
         o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
         d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
         target = jnp.asarray(target, dtype=F32).reshape(-1, 3)
@@ -665,8 +667,12 @@ class SoftRenderer:
         else:
             out = fn(tree, params, opt_state, o, d, target)
         new_params, new_opt_state, loss, counts, nh = out
-        vkey = (fkey, token)
-        if validate or (validate is None and self._step_validated != vkey):
+        vkey = (fkey, beam_tok)
+        skip_read = (not validate) and (
+            validate is False or self._step_token_matches(vkey, origins,
+                                                          dirs)
+        )
+        if not skip_read:
             counts_h = np.asarray(counts)  # the one blocking read
             bad = int(counts_h[-1]) != 0
             k = 0
@@ -687,8 +693,49 @@ class SoftRenderer:
                     params, opt_state, opt, o, d, target, beam,
                     opacity_l1, fit_albedo,
                 )
-            self._step_validated = vkey
+            self._step_validated = self._make_step_token(vkey, origins,
+                                                         dirs)
         return new_params, new_opt_state, loss
+
+    @staticmethod
+    def _rays_fp(arr):
+        """Cheap content fingerprint for HOST ray arrays: shape/dtype plus
+        a 16-element strided sample's bytes — an in-place refill of the
+        same numpy buffer then fails the validate-once token and forces a
+        fresh counts read.  Device (jax) arrays are immutable, so object
+        identity (held by weakref in the token) already implies identical
+        content -> None."""
+        if isinstance(arr, np.ndarray):
+            a = np.ascontiguousarray(arr).reshape(-1)
+            n = a.shape[0]
+            idx = np.linspace(0, n - 1, num=min(16, max(n, 1)),
+                              dtype=np.int64) if n else np.zeros(0, np.int64)
+            return (arr.shape, arr.dtype.str, a[idx].tobytes())
+        return None
+
+    def _make_step_token(self, vkey, origins, dirs):
+        import weakref
+
+        def _ref(x):
+            try:
+                return weakref.ref(x)
+            except TypeError:
+                return None
+
+        return (vkey, _ref(origins), _ref(dirs), self._rays_fp(origins),
+                self._rays_fp(dirs))
+
+    def _step_token_matches(self, vkey, origins, dirs):
+        st = self._step_validated
+        if st is None or st[0] != vkey:
+            return False
+        ro, rd, fpo, fpd = st[1], st[2], st[3], st[4]
+        if ro is None or rd is None:  # un-weakref-able inputs: re-validate
+            return False
+        if ro() is not origins or rd() is not dirs:
+            return False
+        return (fpo == self._rays_fp(origins)
+                and fpd == self._rays_fp(dirs))
 
     def grad_on_hits(self, params, count, voxels, target,
                      min_bucket: int = 8192, shrink: int = 4):
@@ -805,6 +852,22 @@ class SoftRenderer:
         # 3.1M scalar gathers and XLA inserts ~51 ms of layout copies), so
         # the forward row gather stays; ``flat_albedo_bwd`` keeps it and
         # reroutes only the BACKWARD through a flat 1-D scatter.
+        # layout guard: flat_params=True expects [S^3*3] albedo, the row
+        # layout [S^3, 3].  A mismatched checkpoint (saved under the other
+        # layout) would otherwise pass the forward silently — reshape(-1)
+        # of either layout composites the same — and only blow up deep in
+        # the first backward with an opaque cotangent-shape error, so fail
+        # HERE with the actionable message (advisor finding).
+        want_ndim = 1 if self.flat_params else 2
+        if params["albedo"].ndim != want_ndim:
+            raise ValueError(
+                f"params['albedo'] has ndim {params['albedo'].ndim} but this"
+                f" SoftRenderer(flat_params={self.flat_params}) expects ndim"
+                f" {want_ndim} — a checkpoint saved under the other layout?"
+                " Convert with albedo.reshape(-1) (flat) or"
+                " albedo.reshape(-1, 3) (rows), or construct the renderer"
+                " with the matching flat_params."
+            )
         if self.flat_params:
             alb = _gather_rows_flat_params(params["albedo"], addr)
         elif self.flat_albedo_bwd:

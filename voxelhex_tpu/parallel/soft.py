@@ -349,6 +349,69 @@ def sharded_soft_train_step_e2e(
     return jax.jit(sharded)
 
 
+class CheckedShardedSoftStep:
+    """:func:`sharded_soft_train_step_e2e` with ``train_step_fused``'s
+    overflow POLICY built in: run the PLANNED step, validate the
+    per-shard counts once per (tree, camera) — exact by determinism on
+    repeats — and when a compaction bucket overflowed DISCARD the
+    returned params/opt_state (they were computed from truncated hit
+    records) and redo the step through the plan-free program, so callers
+    can never silently train on corrupted gradients (advisor finding:
+    the raw planned step hands back the inexact params alongside the
+    failing counts and trusts the caller to check).
+
+    ``step(tree, params, opt_state, *camera_params, targets) ->
+    (params, opt_state, loss)`` — same signature as the plain e2e step.
+    After an overflow the instance stays on the plan-free program (the
+    plan no longer fits the workload); construct a fresh instance with a
+    re-recorded plan to re-engage it."""
+
+    def __init__(self, soft, mesh, optimizer, resolution,
+                 axis_name: str = "rays", opacity_l1: float = 0.0,
+                 fit_albedo: bool = True, plan=None):
+        self._n = mesh.shape[axis_name]
+        self._plan = plan
+        kw = dict(axis_name=axis_name, opacity_l1=opacity_l1,
+                  fit_albedo=fit_albedo)
+        self._planned = (
+            sharded_soft_train_step_e2e(soft, mesh, optimizer, resolution,
+                                        plan=plan, **kw)
+            if plan is not None else None
+        )
+        self._plain = sharded_soft_train_step_e2e(
+            soft, mesh, optimizer, resolution, **kw
+        )
+        self._validated = None
+        self.overflowed = False  # latched on the first failed validation
+
+    @staticmethod
+    def _vkey(tree, cam_args):
+        # camera params are ~60 B — key on their CONTENT (host bytes) so
+        # a same-pose array rebuilt per step still skips the counts read
+        return (id(tree),) + tuple(
+            np.asarray(a, dtype=np.float32).tobytes() for a in cam_args
+        )
+
+    def __call__(self, tree, params, opt_state, origin, right, up,
+                 forward, scale, targets):
+        if self._planned is not None:
+            out = self._planned(tree, params, opt_state, origin, right,
+                                up, forward, scale, targets)
+            p, s, loss, counts = out
+            vkey = self._vkey(tree, (origin, right, up, forward, scale))
+            if vkey == self._validated or validate_shard_counts(
+                    counts, self._plan, self._n):
+                self._validated = vkey
+                return p, s, loss
+            # overflow: the planned march truncated hits — p/s are
+            # inexact.  Drop them and recompute plan-free.
+            self._planned = None
+            self._validated = None
+            self.overflowed = True
+        return self._plain(tree, params, opt_state, origin, right, up,
+                           forward, scale, targets)
+
+
 def fit_soft_sharded(
     soft: SoftRenderer,
     mesh: Mesh,

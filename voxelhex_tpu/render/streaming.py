@@ -403,6 +403,11 @@ class FarTier:
                 self.renderer.tree = device_bitgrid(
                     bg, skip_rows=(self.view.tracer_kind == "skip")
                 )
+                # content changed: drop the beam cache + validated-pose/
+                # delta baselines like every other mutation path — tier
+                # renderers are only driven through trace_compacted today,
+                # but a future fused/beam use must not serve stale frames
+                self.renderer.invalidate_beam()
             return
 
         # hole move only: occupancy words changed, colors did not
