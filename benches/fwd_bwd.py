@@ -138,6 +138,87 @@ def main():
         )
     )
 
+    # ---- ms/step vs K: the same fused step at max_hits=4 (the
+    # SoftRenderer default signature, diff/soft.py) — prices the march
+    # depth the bench headline (K=2) leaves out (VERDICT r4 weak #2) ----
+    if "--no-k4" not in sys.argv:
+        r4 = SoftRenderer(tree, max_hits=4, max_iters=2048)
+        p4 = r4.init_params()
+        s4 = opt.init(p4)
+        _c, voxels4, _t = r4.trace_hits(o, d, compact=True)
+        target4 = jax.lax.stop_gradient(
+            r4.composite(p4, jax.lax.stop_gradient(voxels4))
+        )
+        for _ in range(2):
+            _p, _s, _l = r4.train_step_fused(p4, s4, opt, o, d, target4)
+            jax.block_until_ready(_l)
+        best4 = float("inf")
+        for _ in range(3):
+            pp, ss = p4, s4
+            t0 = time.time()
+            loss = None
+            for _ in range(NSTEP):
+                pp, ss, loss = r4.train_step_fused(pp, ss, opt, o, d,
+                                                   target4)
+            jax.block_until_ready(loss)
+            best4 = min(best4, (time.time() - t0) / NSTEP)
+        print(
+            json.dumps(
+                {
+                    "metric": "rays_per_sec_fwdbwd_1080p_fused_step_k4",
+                    "value": round(rays / best4, 1),
+                    "unit": "rays/s",
+                    "step_s": round(best4, 3),
+                    "step_s_k2": round(best, 3),
+                }
+            )
+        )
+
+    # ---- convergence at 1080p: does the chained one-dispatch step
+    # actually TRAIN at full resolution?  Perturb the params away from the
+    # scene, fit back toward the true composite for 50 chained steps, and
+    # record the loss trajectory (VERDICT r4 weak #6: throughput was
+    # proven, decreasing loss at 1080p was not) ----
+    if "--no-convergence" not in sys.argv:
+        target_true = jax.lax.stop_gradient(
+            r.composite(params, jax.lax.stop_gradient(voxels))
+        )
+        p = {
+            "albedo": jnp.clip(params["albedo"] + 0.3, 0.0, 1.0),
+            "logits": params["logits"] * 0.7,
+        }
+        s = opt.init(p)  # same opt object: reuses the compiled step program
+        for _ in range(2):  # plan + compile (param values don't matter)
+            _p, _s, _l = r.train_step_fused(p, s, opt, o, d, target_true)
+            jax.block_until_ready(_l)
+        traj = []
+        t0 = time.time()
+        for block in range(5):  # 5 x 10 chained steps, one read per block
+            loss = None
+            for _ in range(10):
+                p, s, loss = r.train_step_fused(p, s, opt, o, d,
+                                                target_true)
+            traj.append(float(loss))
+        dt = time.time() - t0
+        decreasing = all(b < a for a, b in zip(traj, traj[1:]))
+        psnr = [round(-10.0 * np.log10(max(l, 1e-12)), 2) for l in traj]
+        assert traj[-1] < traj[0] * 0.5, (
+            f"1080p fused chain did not converge: {traj}"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "fused_chain_convergence_1080p",
+                    "value": round(traj[-1], 6),
+                    "unit": "mse@50steps",
+                    "loss_per_10_steps": [round(l, 6) for l in traj],
+                    "psnr_per_10_steps": psnr,
+                    "monotonic_decreasing": decreasing,
+                    "seconds_50_steps": round(dt, 1),
+                }
+            )
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -794,3 +794,40 @@ def test_step_validate_token_robust_to_aliasing():
     o2, d2 = o_np.copy(), d_np.copy()
     del o_np, d_np
     assert not r._step_token_matches(vkey, o2, d2)
+
+
+def test_train_step_fused_chained_convergence():
+    """Chained one-dispatch training steps must actually TRAIN: starting
+    from perturbed params and fitting toward the true composite, the loss
+    over 30 device-chained steps decreases and ends well below where it
+    started (the CI-visible anchor for the 1080p convergence recording in
+    benches/fwd_bwd.py)."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(32, 24))
+    o, d = device_rays(cam)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    r = SoftRenderer(tree, max_hits=2, max_iters=256)
+    params_true = r.init_params()
+    _c, voxels, _t = r.trace_hits(o, d, compact=True)
+    target = jax.lax.stop_gradient(
+        r.composite(params_true, jax.lax.stop_gradient(voxels))
+    )
+    p = {
+        "albedo": jnp.clip(params_true["albedo"] + 0.3, 0.0, 1.0),
+        "logits": params_true["logits"] * 0.7,
+    }
+    opt = optax.adam(0.05)
+    s = opt.init(p)
+    losses = []
+    for block in range(3):  # 3 x 10 chained steps, one read per block
+        loss = None
+        for _ in range(10):
+            p, s, loss = r.train_step_fused(p, s, opt, o, d, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses

@@ -43,7 +43,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 W, ROWS = 64, 32
 WARM_STEPS = 2
 TIMED_STEPS = 8
-SCENE_SIZE = 32
+SCENE_SIZE = 16  # brick_dim 4 * 4^1
 
 _WORKER = textwrap.dedent(
     """
@@ -65,9 +65,18 @@ _WORKER = textwrap.dedent(
     w, rows, scene_size, warm, timed = (
         int(sys.argv[4].split(",")[i]) for i in range(5)
     )
-    nproc, idx = distributed.initialize(
-        coordinator_address=addr, num_processes=n, process_id=pid
-    )
+    # one core per worker: per-process resources stay CONSTANT across the
+    # sweep (the weak-scaling contract); when n exceeds the host's cores
+    # workers share and the expected ideal drops to cores/n (recorded in
+    # the artifact)
+    cores = sorted(os.sched_getaffinity(0))
+    os.sched_setaffinity(0, {cores[pid % len(cores)]})
+    if n > 1:
+        nproc, idx = distributed.initialize(
+            coordinator_address=addr, num_processes=n, process_id=pid
+        )
+    else:  # single process: the documented no-op path
+        nproc, idx = distributed.initialize()
     assert (nproc, idx) == (n, pid), (nproc, idx)
     assert len(jax.devices()) == n
 
@@ -235,29 +244,42 @@ def main(ns, out_path):
             f"N={n}: distributed losses diverge from the single-device"
             f" reference\n  got {losses}\n  ref {ref}"
         )
+        cores = len(os.sched_getaffinity(0))
         if base is None:
             base = rays_per_sec / n  # per-process throughput at the first N
         eff = rays_per_sec / (n * base)
+        # when N exceeds the host's cores the workers timeshare — the best
+        # ANY harness could do on this box is cores/N per process, so also
+        # report efficiency against that host-ideal
+        host_ideal = min(1.0, cores / n)
         results.append({
             "n_processes": n,
             "rays_global": W * ROWS * n,
             "rays_per_sec": round(rays_per_sec, 1),
             "weak_scaling_efficiency": round(eff, 4),
+            "host_ideal_efficiency": round(host_ideal, 4),
+            "efficiency_vs_host_ideal": round(eff / host_ideal, 4),
             "losses_match_single_device": True,
             "first_loss": losses[0],
             "last_loss": losses[-1],
         })
-        print(f"N={n}: {rays_per_sec:,.0f} rays/s, efficiency {eff:.3f}",
+        print(f"N={n}: {rays_per_sec:,.0f} rays/s, efficiency {eff:.3f} "
+              f"(host ideal {host_ideal:.3f})",
               file=sys.stderr)
     artifact = {
         "harness": "localhost multi-process jax.distributed (Gloo), "
-                   "1 cpu device per process, weak scaling",
+                   "1 cpu device per process, 1 core affinity per worker, "
+                   "weak scaling",
         "grade": "correctness-grade / CPU-bound — exercises the real "
                  "multi-host code path (cross-process psum per step); "
                  "NOT a TPU-pod performance claim (BASELINE >=90% needs "
                  "pod hardware)",
+        "host_cores": len(os.sched_getaffinity(0)),
+        "note": "for N > host_cores the workers timeshare cores, so the "
+                "host-ideal efficiency is cores/N; efficiency_vs_host_ideal "
+                "isolates the harness/collective overhead from that",
         "step": "sharded_soft_train_step_e2e (device raygen + multi-hit "
-                "march + grad pmean + adam) ",
+                "march + grad pmean + adam)",
         "per_process_rays": W * ROWS,
         "timed_steps": TIMED_STEPS,
         "results": results,
