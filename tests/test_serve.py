@@ -190,3 +190,23 @@ def test_load_endpoint_swaps_scene(tmp_path):
         assert resp2["loaded"]
     finally:
         srv.shutdown()
+
+
+def test_pose_validated_counter_and_delta_serving():
+    """An idle viewer re-requesting the SAME pose rides the validate-once
+    fast paths: the service's pose_validated_frames counter climbs, frames
+    stay bit-identical, and with fuse_plan the dense path serves via the
+    delta stream (digest-only host traffic)."""
+    service = RenderService(_scene(), fuse_plan=True)
+    origin, target = [96.0, 72.0, 96.0], [32.0, 24.0, 32.0]
+    res = (96, 72)
+    frames = [service.render(origin, target, res) for _ in range(6)]
+    for f in frames[1:]:
+        np.testing.assert_array_equal(f, frames[0])
+    stats = service.stats()
+    assert stats["frames_served"] == 6
+    # the later identical-pose frames must have ridden a validated path
+    assert stats["pose_validated_frames"] >= 2
+    # a different pose still renders exactly (and is not double-counted)
+    f2 = service.render([80.0, 60.0, 80.0], target, res)
+    assert f2.shape == frames[0].shape

@@ -54,6 +54,9 @@ class RenderService:
         self.tree = tree
         self._lock = threading.Lock()
         self.frames_served = 0
+        # frames that rode a validate-once fast path (no blocking counts
+        # read: the fused frame's pose-skip, or a delta-stream digest)
+        self.pose_validated_frames = 0
         # fuse_plan: repeat frames replay their compaction schedule as one
         # fused dispatch (local-TPU serving; through the slow-compile
         # tunnel a NEW plan signature stalls minutes, so off by default)
@@ -85,8 +88,19 @@ class RenderService:
         with self._lock:
             if self.view is not None:
                 rgb = self.view.render(cam, bg=bg, out_u8=True)
+                r = self.view.renderer
             else:
-                rgb = self.renderer.render(cam, bg=bg, out_u8=True)
+                r = self.renderer
+                # delta-stream serving: an idle viewer re-requesting the
+                # same pose costs one dispatch + a 4-byte digest instead
+                # of the full u8 payload (render_delta_many; falls back
+                # to the standard path until a plan is recorded)
+                frames = r.render_delta_many([cam], bg=bg)
+                rgb = (frames[0] if frames is not None
+                       else r.render(cam, bg=bg, out_u8=True))
+            if r is not None and (getattr(r, "last_stats", None) or
+                                  {}).get("pose_validated"):
+                self.pose_validated_frames += 1
             self.frames_served += 1
             return np.asarray(rgb)
 
@@ -211,6 +225,7 @@ class RenderService:
             "brick_dim": int(self.tree.brick_dim),
             "node_count": int(self.tree.node_count),
             "frames_served": self.frames_served,
+            "pose_validated_frames": self.pose_validated_frames,
             "streaming": self.view is not None,
             "view_size": (int(self.view.view_size)
                           if self.view is not None else None),
