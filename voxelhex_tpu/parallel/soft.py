@@ -233,33 +233,51 @@ def record_shard_plan(soft: SoftRenderer, camera, mesh: Mesh,
     o_full = o_full.reshape(-1, 3)
     d_full = d_full.reshape(-1, 3)
     band_plans = []
+    max_hits = 0
     for i in range(n):
         sl = slice(i * R_shard, (i + 1) * R_shard)
         soft._soft_plans.pop((R_shard, False), None)
-        soft.trace_hits_compacted(o_full[sl], d_full[sl], fuse=False)
+        cnt, _v, _d = soft.trace_hits_compacted(o_full[sl], d_full[sl],
+                                                fuse=False)
         p = soft._soft_plans.get((R_shard, False))
         if p is None:
             return None  # band didn't converge within the iter budget
         band_plans.append(tuple(p["rounds"]))
-    return {"rounds": union_band_plans(band_plans, extra_rounds)}
+        max_hits = max(max_hits, int(np.asarray((cnt > 0).sum())))
+    # per-shard HIT-COMPACTED backward bucket (the single-chip
+    # grad_on_hits shrink policy applied to the worst band): the e2e
+    # sharded step then backward-passes only rays that hit — without
+    # this the sharded step paid a full-width backward the fused
+    # single-chip step never pays (the n=1 A/B's discovered tax)
+    gb = R_shard
+    while gb // 4 >= max(max_hits, 8192):
+        gb //= 4
+    return {"rounds": union_band_plans(band_plans, extra_rounds),
+            "grad_bucket": int(gb)}
 
 
 def validate_shard_counts(counts, plan, n_shards: int) -> bool:
     """Check a planned sharded march's per-shard straggler counts: True
     when every shard's compaction buckets held (including a planned
-    round-0 ``pre`` bucket, when the plan carries one) and every shard
-    finished (exactness gate for the plan; one small host read)."""
+    round-0 ``pre`` bucket, when the plan carries one), every shard
+    finished, and — when the plan carries a ``grad_bucket`` — every
+    shard's hit count fit the compacted backward's bucket (exactness
+    gate for the plan; one small host read)."""
     entries = tuple(plan["rounds"])
     pre = plan.get("pre")
+    gb = plan.get("grad_bucket")
     off = 1 if pre is not None else 0
-    c = np.asarray(counts).reshape(n_shards, off + len(entries))
+    tail = 1 if gb is not None else 0  # trailing per-shard hit count
+    c = np.asarray(counts).reshape(n_shards, off + len(entries) + tail)
     for s in range(n_shards):
         if pre is not None and int(c[s, 0]) > int(pre):
             return False
         for k, (_iters, bucket) in enumerate(entries):
             if bucket is not None and int(c[s, off + k]) > bucket:
                 return False
-        if int(c[s, -1]) != 0:
+        if int(c[s, off + len(entries) - 1]) != 0:
+            return False
+        if gb is not None and int(c[s, -1]) > int(gb):
             return False
     return True
 
@@ -309,12 +327,24 @@ def sharded_soft_train_step_e2e(
     trace = soft._trace
     local_loss = _local_loss_fn(soft, opacity_l1, fit_albedo)
     hits_body = None
+    grad_f = None
     if plan is not None:
         entries = tuple(
             (int(i), (int(b) if b is not None else None))
             for i, b in plan["rounds"]
         )
         hits_body = soft._hits_body(rows * w, entries, None)
+        if plan.get("grad_bucket") is not None:
+            # HIT-COMPACTED backward on the shard (grad_on_hits's lever
+            # inside the mesh): only rays that recorded a hit enter the
+            # backward — a no-hit ray's gradient is exactly zero and its
+            # squared error a params-free constant, so results are
+            # identical (the single-chip parity argument, diff/soft.py).
+            # The per-shard hit count joins the counts output for the
+            # caller's validate_shard_counts gate.
+            grad_f = soft._make_grad_fn(
+                rows * w, int(plan["grad_bucket"]), with_count=True
+            )
 
     def shard_step(tree, params, opt_state, origin, right, up, forward,
                    scale, targets):
@@ -322,12 +352,26 @@ def sharded_soft_train_step_e2e(
         o, d = gen(origin, right, up, forward, scale,
                    (i * rows).astype(jnp.float32))
         if hits_body is not None:
-            _c, voxels, _dists, counts = hits_body(tree, o, d, None)
+            cnt, voxels, _dists, counts = hits_body(tree, o, d, None)
         else:
-            _c, voxels, _dists = trace(tree, o, d)
+            cnt, voxels, _dists = trace(tree, o, d)
             counts = None
         voxels = jax.lax.stop_gradient(voxels)
-        loss, grads = jax.value_and_grad(local_loss)(params, voxels, targets)
+        if grad_f is not None:
+            loss, grads, nh = grad_f(params, cnt > 0, voxels, targets)
+            if opacity_l1:
+                l1_loss, l1_grads = jax.value_and_grad(
+                    lambda p: opacity_l1
+                    * jnp.mean(jax.nn.sigmoid(p["logits"]))
+                )(params)
+                grads = jax.tree.map(jnp.add, grads, l1_grads)
+                loss = loss + l1_loss
+            if not fit_albedo:
+                grads = dict(grads, albedo=jnp.zeros_like(grads["albedo"]))
+            counts = jnp.concatenate([counts, nh[None].astype(counts.dtype)])
+        else:
+            loss, grads = jax.value_and_grad(local_loss)(params, voxels,
+                                                         targets)
         grads = jax.lax.pmean(grads, axis_name)  # all-reduce over ICI
         loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state)
