@@ -280,6 +280,19 @@ def main():
         jax.block_until_ready(loss)
         return (time.time() - t0) / NSTEP
 
+    CHAIN = 8  # steps per dispatch in the scanned-chain arm
+
+    def fwdbwd_batch_chain(kw):
+        """CHAIN whole steps as ONE dispatch (train_steps_fused scans the
+        step body) — same online semantics, the per-step dispatch
+        residual amortized CHAIN-fold (PERF.md round 5)."""
+        t0 = time.time()
+        _p, _s, losses = soft.train_steps_fused(
+            params, opt_state, opt, o_d, d_d, target, CHAIN, **kw
+        )
+        jax.block_until_ready(losses)
+        return (time.time() - t0) / CHAIN
+
     # warm: step 1 records the march plan + backward bucket (adaptive,
     # multi-dispatch), step 2 compiles + validates the fused step program
     for _ in range(2):
@@ -312,7 +325,29 @@ def main():
             file=sys.stderr,
         )
     regime["fwdbwd_mode"] = "beam" if bwd_kw else "plain"
-    best_bwd = min(fwdbwd_batch(bwd_kw) for _ in range(3))
+
+    # third auto-select: the scanned step chain (CHAIN steps per
+    # dispatch) vs the per-step chained loop — warm BOTH modes' chain
+    # programs so a later session replays from cache whichever it picks
+    for kw in (({}, {"beam": spec}) if spec is not None else ({},)):
+        _p, _s, _l = soft.train_steps_fused(
+            params, opt_state, opt, o_d, d_d, target, CHAIN, **kw
+        )
+        jax.block_until_ready(_l)
+    t_chain = min(fwdbwd_batch_chain(bwd_kw) for _ in range(2))
+    t_loop = min(fwdbwd_batch(bwd_kw) for _ in range(2))
+    chain_mode = t_chain < t_loop
+    regime["fwdbwd_chain_select_ms"] = {
+        "chain": round(t_chain * 1e3), "loop": round(t_loop * 1e3)
+    }
+    regime["fwdbwd_chain"] = CHAIN if chain_mode else 1
+    print(
+        f"fwdbwd chain select: loop {t_loop*1e3:.0f} ms, chain "
+        f"{t_chain*1e3:.0f} ms -> {'chain' if chain_mode else 'loop'}",
+        file=sys.stderr,
+    )
+    timed_bwd = fwdbwd_batch_chain if chain_mode else fwdbwd_batch
+    best_bwd = min(timed_bwd(bwd_kw) for _ in range(3))
     rays_per_sec_bwd = rays / best_bwd
 
     # late fwd reps: tunnel sessions drift between regimes over minutes

@@ -831,3 +831,83 @@ def test_train_step_fused_chained_convergence():
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
+
+
+def test_train_steps_fused_chain_matches_sequential():
+    """train_steps_fused (N steps scanned into ONE program) must equal N
+    sequential train_step_fused calls bit-for-bit — params, opt state and
+    every per-step loss — plain and with the beam prepass traced in."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(32, 24))
+    o, d = device_rays(cam)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    ra = SoftRenderer(tree, max_hits=2, max_iters=256)
+    rb = SoftRenderer(tree, max_hits=2, max_iters=256)
+    params = ra.init_params()
+    _c, voxels, _t = ra.trace_hits(o, d, compact=True)
+    target = jax.lax.stop_gradient(
+        ra.composite(params, jax.lax.stop_gradient(voxels))
+    )
+    opt = optax.adam(0.05)
+
+    for beam_wanted in (False, True):
+        beam_a = ra.beam_spec(cam) if beam_wanted else None
+        beam_b = rb.beam_spec(cam) if beam_wanted else None
+        if beam_wanted and (beam_a is None or beam_b is None):
+            continue  # beam can decline on tiny scenes
+        pa = jax.tree.map(jnp.array, params)
+        sa = opt.init(pa)
+        pb = jax.tree.map(jnp.array, params)
+        sb = opt.init(pb)
+        # record plans on both renderers (2 warm steps each)
+        for _ in range(2):
+            pa0, sa0, _ = ra.train_step_fused(pa, sa, opt, o, d, target,
+                                              beam=beam_a)
+            pb0, sb0, _ = rb.train_step_fused(pb, sb, opt, o, d, target,
+                                              beam=beam_b)
+        losses_a = []
+        for _ in range(3):
+            pa, sa, la = ra.train_step_fused(pa, sa, opt, o, d, target,
+                                             beam=beam_a)
+            losses_a.append(np.asarray(la))
+        pb, sb, losses_b = rb.train_steps_fused(pb, sb, opt, o, d, target,
+                                                3, beam=beam_b)
+        assert losses_b.shape == (3,)
+        np.testing.assert_array_equal(np.asarray(losses_b),
+                                      np.stack(losses_a))
+        for k in pa:
+            np.testing.assert_array_equal(np.asarray(pa[k]),
+                                          np.asarray(pb[k]))
+
+
+def test_train_steps_fused_records_then_chains():
+    """From a cold renderer, train_steps_fused falls back to per-step
+    recording, then later calls ride the scanned chain program."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(32, 24))
+    o, d = device_rays(cam)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    r = SoftRenderer(tree, max_hits=2, max_iters=256)
+    params = r.init_params()
+    _c, voxels, _t = r.trace_hits(o, d, compact=True)
+    target = jax.lax.stop_gradient(
+        r.composite(params, jax.lax.stop_gradient(voxels))
+    )
+    opt = optax.adam(0.05)
+    s = opt.init(params)
+    p, s, l1 = r.train_steps_fused(params, s, opt, o, d, target, 2)
+    assert l1.shape == (2,)
+    key_chain = [k for k in r._step_fns if k[-1] == "chain"]
+    p, s, l2 = r.train_steps_fused(p, s, opt, o, d, target, 2)
+    assert [k for k in r._step_fns if k[-1] == "chain"]
+    assert np.all(np.isfinite(np.asarray(l2)))

@@ -737,6 +737,169 @@ class SoftRenderer:
         return (fpo == self._rays_fp(origins)
                 and fpd == self._rays_fp(dirs))
 
+    def _make_chain_fn(self, R, entries, pre, has_start, beam_key, bucket,
+                       opt, opacity_l1, fit_albedo, n_steps):
+        """N whole training steps as ONE jitted program: ``lax.scan`` over
+        the fused step body (march + hit-compacted backward + L1 +
+        optimizer update + clamps — the identical math of
+        :meth:`_make_step_fn`) with (params, opt_state) carried through
+        the scan.  With a beam spec the conservative starts compute ONCE
+        before the scan (they depend only on (beam tree, beam rays), both
+        loop-invariant).  One dispatch then advances N steps — the
+        forward path's K-frame lever applied to training, killing the
+        per-step dispatch residual that made step time session-dependent
+        (406 ms best vs 649 ms in a dispatch-bound session, PERF.md)."""
+        import optax
+
+        build = self._hits_body(R, entries, pre)
+        grad_f = self._make_grad_fn(R, bucket, with_count=True)
+        r = self._compact_renderer
+        beam_body = r._beam_body(*beam_key) if beam_key else None
+
+        def body(tree, params, opt_state, o, d, st, target):
+            count, voxels, _dists, counts = build(tree, o, d, st)
+            voxels = jax.lax.stop_gradient(voxels)
+            mask = count > 0
+            loss, grads, nh = grad_f(params, mask, voxels, target)
+            if opacity_l1:
+                l1_loss, l1_grads = jax.value_and_grad(
+                    lambda p: opacity_l1
+                    * jnp.mean(jax.nn.sigmoid(p["logits"]))
+                )(params)
+                grads = jax.tree.map(jnp.add, grads, l1_grads)
+                loss = loss + l1_loss
+            if not fit_albedo:
+                grads = dict(grads, albedo=jnp.zeros_like(grads["albedo"]))
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            params = {
+                "albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+                "logits": jnp.clip(params["logits"], -12.0, 12.0),
+            }
+            return params, opt_state, loss, counts, nh
+
+        def chain(tree, params, opt_state, o, d, st, target):
+            def one(carry, _):
+                p, s = carry
+                p, s, loss, counts, nh = body(tree, p, s, o, d, st,
+                                              target)
+                return (p, s), (loss, counts, nh)
+
+            (p, s), (losses, counts, nhs) = jax.lax.scan(
+                one, (params, opt_state), None, length=n_steps
+            )
+            return p, s, losses, counts, nhs
+
+        if beam_key is not None:
+            return jax.jit(
+                lambda tree, tree_b, params, opt_state, o, d, o_b, d_b,
+                target: chain(
+                    tree, params, opt_state, o, d,
+                    beam_body(tree_b, o_b, d_b), target,
+                )
+            )
+        if has_start:
+            return jax.jit(chain)
+        return jax.jit(
+            lambda tree, params, opt_state, o, d, target: chain(
+                tree, params, opt_state, o, d, None, target
+            )
+        )
+
+    def train_steps_fused(self, params, opt_state, opt, origins, dirs,
+                          target, n_steps: int, beam=None,
+                          opacity_l1: float = 0.0, fit_albedo: bool = True,
+                          validate=None):
+        """N chained one-dispatch training steps as ONE program (see
+        :meth:`_make_chain_fn`) — bit-identical to calling
+        :meth:`train_step_fused` ``n_steps`` times, with the per-step
+        dispatch residual amortized N-fold.  Returns ``(params,
+        opt_state, losses[n_steps])`` as device values.
+
+        Falls back to looping :meth:`train_step_fused` while the plans
+        are still recording (identical results either way).  Validation
+        follows the same once-per-(plan, rays) policy: the scanned
+        program's per-step counts are folded by max (the march is
+        identical every step — geometry-only — so one bad step means a
+        bad plan) and checked on first sight of the pair."""
+        plan_key_probe = (
+            jnp.asarray(origins, dtype=F32).reshape(-1, 3).shape[0],
+            beam is not None,
+        )
+        if (self._soft_plans.get(plan_key_probe) is None
+                or self._grad_plans.get(plan_key_probe[0]) is None):
+            losses = []
+            for _ in range(int(n_steps)):
+                params, opt_state, loss = self.train_step_fused(
+                    params, opt_state, opt, origins, dirs, target,
+                    beam=beam, opacity_l1=opacity_l1,
+                    fit_albedo=fit_albedo, validate=validate,
+                )
+                losses.append(loss)
+            return params, opt_state, jnp.stack(losses)
+        beam_tok = beam["key"] if beam is not None else None
+        o = jnp.asarray(origins, dtype=F32).reshape(-1, 3)
+        d = jnp.asarray(dirs, dtype=F32).reshape(-1, 3)
+        target = jnp.asarray(target, dtype=F32).reshape(-1, 3)
+        R = o.shape[0]
+        has_start = beam is not None
+        plan = self._soft_plans.get((R, has_start))
+        bucket = self._grad_plans.get(R)
+        entries = tuple(plan["rounds"])
+        pre = plan.get("pre") if has_start else None
+        beam_key = beam["key"] if beam is not None else None
+        fkey = (R, entries, pre, has_start, beam_key, bucket, id(opt),
+                float(opacity_l1), bool(fit_albedo), int(n_steps),
+                "chain")
+        fn = self._step_fns.get(fkey)
+        if fn is None:
+            fn = self._make_chain_fn(
+                R, entries, pre, has_start, beam_key, bucket, opt,
+                opacity_l1, fit_albedo, int(n_steps),
+            )
+            self._step_fns[fkey] = fn
+        tree = self._compact_renderer.tree
+        if beam is not None:
+            out = fn(tree, beam["tree_b"], params, opt_state, o, d,
+                     beam["o_b"], beam["d_b"], target)
+        else:
+            out = fn(tree, params, opt_state, o, d, target)
+        new_params, new_opt_state, losses, counts, nhs = out
+        vkey = (fkey, beam_tok)
+        skip_read = (not validate) and (
+            validate is False or self._step_token_matches(vkey, origins,
+                                                          dirs)
+        )
+        if not skip_read:
+            counts_h = np.asarray(counts).max(axis=0)  # fold over steps
+            bad = int(counts_h[-1]) != 0
+            k = 0
+            if pre is not None:
+                k = 1
+                if int(counts_h[0]) > pre:
+                    bad = True
+            for i, (_iters, b) in enumerate(entries):
+                if b is not None and int(counts_h[k + i]) > b:
+                    bad = True
+            if bucket < R and int(np.asarray(nhs).max()) > bucket:
+                bad = True
+            if bad:
+                self._soft_plans.pop((R, has_start), None)
+                self._grad_plans.pop(R, None)
+                self._step_validated = None
+                losses = []
+                for _ in range(int(n_steps)):
+                    params, opt_state, loss = self.train_step_fused(
+                        params, opt_state, opt, origins, dirs, target,
+                        beam=beam, opacity_l1=opacity_l1,
+                        fit_albedo=fit_albedo,
+                    )
+                    losses.append(loss)
+                return params, opt_state, jnp.stack(losses)
+            self._step_validated = self._make_step_token(vkey, origins,
+                                                         dirs)
+        return new_params, new_opt_state, losses
+
     def grad_on_hits(self, params, count, voxels, target,
                      min_bucket: int = 8192, shrink: int = 4):
         """``value_and_grad`` of :meth:`loss`, computed only on rays that
