@@ -75,13 +75,20 @@ def main():
     params, opt_state = params0, opt.init(params0)
     t0 = time.time()
     loss = None
-    for i in range(args.steps):  # steps chain device-side
-        # fit_albedo=False: colors frozen so GEOMETRY must explain the
-        # target (with albedo free, the fit can recolor an occluder
-        # instead of carving it — the classic shape/appearance ambiguity)
-        params, opt_state, loss = soft.train_step_fused(
-            params, opt_state, opt, o, d, target, fit_albedo=False
+    # fit_albedo=False: colors frozen so GEOMETRY must explain the
+    # target (with albedo free, the fit can recolor an occluder
+    # instead of carving it — the classic shape/appearance ambiguity).
+    # Steps go CHAIN-per-dispatch (train_steps_fused scans the whole
+    # step body; bit-identical to the per-step loop, and XLA hoists the
+    # static-geometry march out of the scan — PERF.md round 5); the
+    # first call records plans per-step, later calls ride the chain.
+    CHAIN = 10
+    for i in range(0, args.steps, CHAIN):
+        n = min(CHAIN, args.steps - i)
+        params, opt_state, losses = soft.train_steps_fused(
+            params, opt_state, opt, o, d, target, n, fit_albedo=False
         )
+        loss = losses[-1]
     jax.block_until_ready(loss)
     dt = time.time() - t0
     print(f"{args.steps} one-dispatch steps in {dt:.2f}s "
