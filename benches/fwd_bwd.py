@@ -138,6 +138,32 @@ def main():
         )
     )
 
+    # ---- round-5 form: N steps SCANNED into one dispatch
+    # (train_steps_fused) — bit-identical to the loop above; XLA hoists
+    # the static-geometry march out of the scan (hit-record dedup) and
+    # the dispatch residual amortizes N-fold ----
+    CHAIN = 8
+    _p, _s, _l = r.train_steps_fused(p, s, opt, o, d, target, CHAIN)
+    jax.block_until_ready(_l)
+    best_c = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _p, _s, losses = r.train_steps_fused(p, s, opt, o, d, target,
+                                             CHAIN)
+        jax.block_until_ready(losses)
+        best_c = min(best_c, (time.time() - t0) / CHAIN)
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_fwdbwd_1080p_chain8",
+                "value": round(rays / best_c, 1),
+                "unit": "rays/s",
+                "step_s": round(best_c, 3),
+                "step_s_loop": round(best, 3),
+            }
+        )
+    )
+
     # ---- ms/step vs K: the same fused step at max_hits=4 (the
     # SoftRenderer default signature, diff/soft.py) — prices the march
     # depth the bench headline (K=2) leaves out (VERDICT r4 weak #2) ----
