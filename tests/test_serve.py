@@ -210,3 +210,32 @@ def test_pose_validated_counter_and_delta_serving():
     # a different pose still renders exactly (and is not double-counted)
     f2 = service.render([80.0, 60.0, 80.0], target, res)
     assert f2.shape == frames[0].shape
+
+
+def test_edit_keeps_plans_and_delta_recovers():
+    """Dense-path edits refresh device content IN PLACE: the fused plans
+    survive (no re-record stall), the edit is visible immediately, and
+    the delta stream re-primes once then goes digest-only again."""
+    service = RenderService(_scene(), fuse_plan=True)
+    origin, target = [96.0, 72.0, 96.0], [32.0, 24.0, 32.0]
+    res = (96, 72)
+    for _ in range(5):  # record + stabilize + fuse + delta prime
+        before = service.render(origin, target, res)
+    plans_before = dict(service.renderer._plans)
+    assert plans_before  # a plan was recorded
+    r_obj = service.renderer
+    n = service.apply_edits([
+        {"op": "insert", "pos": [28, 28, 28], "size": 8,
+         "color": [0, 0, 255, 255]},
+    ])
+    assert n == 1
+    assert service.renderer is r_obj  # renderer object survived the edit
+    after = service.render(origin, target, res)
+    assert not np.array_equal(after, before)  # the edit is visible
+    assert (after[..., 2].astype(int) > after[..., 0].astype(int)).any()
+    # steady state again: the same pose goes digest-only once re-primed
+    a2 = service.render(origin, target, res)
+    a3 = service.render(origin, target, res)
+    np.testing.assert_array_equal(a2, after)
+    np.testing.assert_array_equal(a3, after)
+    assert service.pose_validated_frames >= 2

@@ -134,12 +134,27 @@ class RenderService:
                     raise ValueError(f"unknown op {kind!r}")
                 n += 1
             if self.view is None:
-                # whole-scene renderer: refresh the flat snapshot
-                from voxelhex_tpu.render.bitgrid import BitGridRenderer
+                # whole-scene renderer: refresh the DEVICE CONTENT in
+                # place (same-size tree -> same pyramid shape constants,
+                # so the jitted programs and recorded plans survive; plan
+                # validity re-checks against the new tree and overflowed
+                # plans re-record).  invalidate_beam voids the beam grids
+                # and the validated-pose/delta baselines — the same
+                # content-change hook streaming uses.
+                from voxelhex_tpu.render.bitgrid import (
+                    build_bitgrid,
+                    device_bitgrid,
+                )
                 from voxelhex_tpu.tree.flat import flatten
 
-                self.renderer = BitGridRenderer(flatten(self.tree),
-                                                fuse_plan=self.fuse_plan)
+                r = self.renderer
+                bg = build_bitgrid(flatten(self.tree))
+                r.bitgrid = bg
+                r.tree = device_bitgrid(
+                    bg, color_u8=r.color_u8,
+                    skip_rows=(r.tracer_kind == "skip"),
+                )
+                r.invalidate_beam()
         return n
 
     def load_scene(self, tree, view_size: int | None = None) -> None:
