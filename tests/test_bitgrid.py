@@ -784,10 +784,12 @@ def test_render_delta_many_static_pose_shares_frames():
     assert rf.last_stats.get("pose_validated")
     assert rf.last_stats["delta_fetched"] == 0
     assert f2[0] is f1[0]
-    # content-change hook voids the baseline: the next batch re-fetches
+    # the content-change hook voids the VALIDATED-POSE token (counts
+    # re-read) but the delta baseline survives as a pure diff base: the
+    # unchanged content re-serves digest-only
     rf.invalidate_beam()
     f3 = rf.render_delta_many([cam, cam])
-    assert rf.last_stats["delta_fetched"] == 1
+    assert rf.last_stats["delta_fetched"] == 0
     assert not rf.last_stats.get("pose_validated")
     np.testing.assert_array_equal(f3[0], plain)
 
@@ -833,3 +835,46 @@ def test_render_delta_many_beam_variant():
     assert rf.last_stats.get("beam_fused")
     np.testing.assert_array_equal(frames[0], r.render(cam, out_u8=True))
     assert frames[1] is frames[0]
+
+
+def test_render_delta_many_edit_fetches_row_band():
+    """An in-place content edit (the serve dense-edit pattern: swap
+    renderer.tree + invalidate_beam) costs only its changed ROW BAND:
+    the delta baseline survives as a diff base, the program diffs the
+    freshly rendered frame against it on device, and the host patches
+    the fetched band into a copy of the baseline — bit-identical to a
+    full re-render."""
+    from voxelhex_tpu.render.bitgrid import device_bitgrid
+    from voxelhex_tpu.tree.flat import flatten as _flatten
+
+    tree = make_scene(64, 4, seed=7)
+    rf = BitGridRenderer(tree, fuse_plan=True)
+    cam = orbit_camera(64.0, resolution=(160, 120))
+    for _ in range(3):
+        rf.render(cam, out_u8=True)
+    f0 = rf.render_delta_many([cam])
+    assert f0 is not None and rf.last_stats["delta_fetched"] == 1
+
+    # edit: a small solid block -> only a local screen region changes
+    tree.insert_at_lod((24, 24, 24), 8, Albedo(30, 30, 240, 255))
+    from voxelhex_tpu.render.bitgrid import build_bitgrid
+    bg = build_bitgrid(tree)
+    rf.bitgrid = bg
+    rf.tree = device_bitgrid(bg)
+    rf.invalidate_beam()
+
+    f1 = rf.render_delta_many([cam])
+    if f1 is None:  # plan overflowed on the new content: re-record
+        for _ in range(3):
+            rf.render(cam, out_u8=True)
+        f1 = rf.render_delta_many([cam])
+    st = rf.last_stats
+    assert st["delta_fetched"] == 1
+    # the edit is local: a strict subset of rows moved
+    assert 0 < st["delta_rows_fetched"] < 120
+    r2 = BitGridRenderer(tree)
+    np.testing.assert_array_equal(f1[0], r2.render(cam, out_u8=True))
+    # unchanged content after the edit: digest-only again
+    f2 = rf.render_delta_many([cam])
+    assert rf.last_stats["delta_fetched"] == 0
+    assert f2[0] is f1[0]

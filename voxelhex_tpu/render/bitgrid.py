@@ -1444,9 +1444,13 @@ class BitGridRenderer:
         token's id(self.tree) would not catch it."""
         self._beam_cache.clear()
         self._frame_validated = None
-        # the delta stream's previous-frame baseline is scene content too
-        self._delta_state = None
-        self._delta_validated = None
+        # NOTE: the delta stream's baseline (_delta_state) deliberately
+        # SURVIVES content changes — it is only a diff base, and its one
+        # invariant (device prev == host prev, byte for byte) is
+        # content-independent.  The delta program renders the new frame
+        # from the CURRENT tree and diffs it against the baseline on
+        # device, so an edit costs exactly its changed pixels (fetched as
+        # a row band); an edit invisible from the pose costs nothing.
 
     def _beam_setup(self, L):
         """(device tree, tracer) over the 3^3-dilated level-L cell grid with
@@ -2193,7 +2197,10 @@ class BitGridRenderer:
         /root/reference/src/raytracing/bevy/pipeline/mod.rs:116-154), and
         through a ~30 MB/s tunnel the 6 MB 1080p payload is ~200 ms/frame
         (PERF.md transfer discipline), so this is the TPU-serving analog.
-        ``rgbs`` stays on device; the caller fetches only changed frames."""
+        Alongside ``ndiffs`` each frame emits per-ROW-GROUP changed flags
+        (``rowflags [K, G]``, 8 rows/group), so a LOCAL change (an edit)
+        fetches just its contiguous row band instead of the full frame.
+        ``rgbs`` stays on device; the caller fetches only changed spans."""
         key = (R, preb, entries, has_start, beam_key, cam, K, "delta")
         fn = self._fused_fns.get(key)
         if fn is not None:
@@ -2203,9 +2210,17 @@ class BitGridRenderer:
         build = self._frame_body(R, preb, entries, has_start, u8=True)
         w, h = cam
         gen_main = raygen_body(w, h)
+        G = (h + 7) // 8  # row groups (8 rows each, tail-padded)
 
-        def _ndiff(rgb, prev):
-            return jnp.sum(jnp.any(rgb != prev, axis=1).astype(I32))
+        def _digest(rgb, prev):
+            rowdiff = jnp.any(
+                (rgb != prev).reshape(h, w * 3), axis=1
+            )
+            pad = jnp.zeros(G * 8 - h, dtype=bool)
+            groups = jnp.concatenate([rowdiff, pad]).reshape(G, 8).any(
+                axis=1
+            )
+            return jnp.sum(rowdiff.astype(I32)), groups
 
         if beam_key is not None:
             beam_body = self._beam_body(*beam_key)
@@ -2221,12 +2236,13 @@ class BitGridRenderer:
                     out = build(tree, o, dv, beam_body(tree_b, o_b, d_b),
                                 bgc)
                     rgb = out[5]
-                    return rgb, (rgb, _ndiff(rgb, prev), out[6])
+                    nd, groups = _digest(rgb, prev)
+                    return rgb, (rgb, nd, groups, out[6])
 
-                last, (rgbs, ndiffs, counts) = jax.lax.scan(
+                last, (rgbs, ndiffs, rowflags, counts) = jax.lax.scan(
                     one, prev, (origins, rights, ups, forwards, scales)
                 )
-                return last, rgbs, ndiffs, counts
+                return last, rgbs, ndiffs, rowflags, counts
         else:
 
             def fn_delta(tree, prev, origins, rights, ups, forwards,
@@ -2236,12 +2252,13 @@ class BitGridRenderer:
                     o, dv = gen_main(origin, right, up, forward, scale)
                     out = build(tree, o, dv, None, bgc)
                     rgb = out[5]
-                    return rgb, (rgb, _ndiff(rgb, prev), out[6])
+                    nd, groups = _digest(rgb, prev)
+                    return rgb, (rgb, nd, groups, out[6])
 
-                last, (rgbs, ndiffs, counts) = jax.lax.scan(
+                last, (rgbs, ndiffs, rowflags, counts) = jax.lax.scan(
                     one, prev, (origins, rights, ups, forwards, scales)
                 )
-                return last, rgbs, ndiffs, counts
+                return last, rgbs, ndiffs, rowflags, counts
 
         fn = jax.jit(fn_delta)
         self._fused_fns[key] = fn
@@ -2261,11 +2278,14 @@ class BitGridRenderer:
         Exactness: frames come from the identical planned frame body as
         :meth:`render` / :meth:`render_many` (counts-validated, overflow
         falls back), the diff runs on the final u8 pixels on device, and
-        the first batch per (plan, tree) additionally fetches the last
+        the first batch per plan shape additionally fetches the last
         frame in full and verifies the host reconstruction byte-for-byte
-        before the digest path is trusted.  Scene-content changes void the
-        baseline through :meth:`invalidate_beam` (the same hook that voids
-        the validated-pose token)."""
+        before the digest path is trusted.  The baseline is only a diff
+        base, so it stays valid across EDITS/content changes — each frame
+        renders fresh from the current tree and diffs on device; a local
+        edit fetches just its contiguous changed row band
+        (``delta_rows_fetched`` in ``last_stats``), and an edit invisible
+        from the pose fetches nothing."""
         cameras = list(cameras)
         if not cameras or not self.fuse_plan:
             return None
@@ -2310,10 +2330,13 @@ class BitGridRenderer:
             fn = self._fused_delta_fn(
                 R, preb, entries, has_start, beam_key, (w, h), K
             )
-            # the baseline is specific to (plan program, tree, bg) — NOT
-            # the pose: any pose sequence deltas against any other
+            # the baseline is specific to (plan program, bg) — NOT the
+            # pose and NOT the tree content: it is only a diff base, the
+            # program diffs the freshly rendered frame against it on
+            # device, so it stays valid across edits/content changes (an
+            # edit then costs exactly its changed row bands)
             dtoken = (R, preb, entries, has_start, beam_key, (w, h),
-                      id(self.tree), tuple(bg) if bg is not None else None)
+                      tuple(bg) if bg is not None else None)
             state = self._delta_state
             if state is None or state[0] != dtoken:
                 # self-priming: an all-zero baseline makes frame 0 report
@@ -2338,18 +2361,21 @@ class BitGridRenderer:
                 tuple(bg) if bg is not None else None,
             )
             if spec is not None:
-                last, rgbs, ndiffs, counts = fn(
+                last, rgbs, ndiffs, rowflags, counts = fn(
                     self.tree, spec["tree_b"], prev_dev, *stacked, bgc
                 )
             else:
-                last, rgbs, ndiffs, counts = fn(
+                last, rgbs, ndiffs, rowflags, counts = fn(
                     self.tree, prev_dev, *stacked, bgc
                 )
             pose_validated = token == self._frame_validated
             if pose_validated:
-                nd = np.asarray(ndiffs)  # the batch's one tiny read
+                # the batch's one tiny read (digests + row flags)
+                nd, rf = jax.device_get((ndiffs, rowflags))
             else:
-                nd, counts_h = jax.device_get((ndiffs, counts))
+                nd, rf, counts_h = jax.device_get(
+                    (ndiffs, rowflags, counts)
+                )
                 bad, rounds, pre, _tot = self._counts_verdict(
                     counts_h.max(axis=0), preb, entries, R
                 )
@@ -2361,14 +2387,31 @@ class BitGridRenderer:
                 self._frame_validated = token
                 self._record_plan(plan_key, plan_from_rounds(rounds,
                                                              pre=pre))
-            # host reconstruction: fetch ONLY frames whose digest moved
+            # host reconstruction: fetch ONLY frames whose digest moved,
+            # and for a LOCAL change (contiguous flagged row groups
+            # covering < half the frame) fetch just that row band and
+            # patch it into a copy of the previous frame
             frames = []
             cur = prev_host
             fetched = 0
+            rows_fetched = 0
             for k in range(int(K)):
                 if int(nd[k]) != 0 or cur is None:
-                    cur = np.asarray(rgbs[k]).reshape(h, w, 3)
                     fetched += 1
+                    groups = np.flatnonzero(rf[k])
+                    lo = int(groups[0]) * 8 if groups.size else 0
+                    hi = min(int(groups[-1] + 1) * 8, h) if groups.size \
+                        else h
+                    if cur is not None and (hi - lo) * 2 < h:
+                        band = np.asarray(
+                            rgbs[k].reshape(h, w, 3)[lo:hi]
+                        )
+                        cur = cur.copy()
+                        cur[lo:hi] = band
+                        rows_fetched += hi - lo
+                    else:
+                        cur = np.asarray(rgbs[k]).reshape(h, w, 3)
+                        rows_fetched += h
                 frames.append(cur)
             if self._delta_validated != dtoken:
                 # one-time exactness gate per (plan, tree): the digest
@@ -2386,6 +2429,7 @@ class BitGridRenderer:
                 "rays": int(R) * K, "planned": True, "fused": True,
                 "frame_fused": True, "batched_frames": K, "delta": True,
                 "delta_fetched": fetched,
+                "delta_rows_fetched": int(rows_fetched),
                 "beam_fused": spec is not None,
                 "pose_validated": pose_validated,
                 "trace_seconds": round(_time.time() - t_start, 4),
