@@ -239,3 +239,33 @@ def test_edit_keeps_plans_and_delta_recovers():
     np.testing.assert_array_equal(a2, after)
     np.testing.assert_array_equal(a3, after)
     assert service.pose_validated_frames >= 2
+
+
+def test_streaming_idle_pose_cache():
+    """Streamed serving: once the view settles, a repeated pose at the
+    same content version serves from the idle-pose cache with zero
+    dispatches (counted in pose_validated_frames); edits and pose moves
+    invalidate it through the content version / key."""
+    tree = _scene(size=64)
+    service = RenderService(tree, view_size=32)
+    origin, target, res = [-30, 60, -30], [32, 16, 32], (48, 36)
+    # render until the window settles (budgeted paging completes)
+    for _ in range(6):
+        f = service.render(origin, target, res)
+        if service.view.settled():
+            break
+    assert service.view.settled()
+    f1 = service.render(origin, target, res)  # fills the cache
+    base = service.pose_validated_frames
+    f2 = service.render(origin, target, res)  # cache hit
+    assert service.pose_validated_frames == base + 1
+    assert f2 is service._stream_cache[2]
+    np.testing.assert_array_equal(f1, f2)
+    # a different pose misses the cache
+    f3 = service.render([-28, 60, -30], target, res)
+    assert service.pose_validated_frames == base + 1
+    # an edit bumps the content version: the old pose re-renders
+    service.apply_edits({"op": "insert", "pos": [30, 30, 30],
+                         "color": [255, 0, 255, 255], "size": 4})
+    f4 = service.render(origin, target, res)
+    assert not np.array_equal(f4, f1)

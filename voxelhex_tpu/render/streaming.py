@@ -475,6 +475,7 @@ class FarField:
         self.view = view
         self._job = None  # in-flight async ring build (fut, generation)
         self._gen = 0  # bumped per edit; stale async builds are dropped
+        self.swaps = 0  # ring swaps applied (content_version component)
         W = int(view.tree.size)
         S = int(view.view_size)
         self.tiers: list[FarTier] = []
@@ -557,6 +558,7 @@ class FarField:
         for t, p in zip(self.tiers, plans):
             if p is not None:
                 t.apply_refresh(p)
+                self.swaps += 1
 
     def refresh_async(self, pool) -> bool:
         """Far refresh OFF the render path (VERDICT r3 weak #5 / next #7):
@@ -583,6 +585,7 @@ class FarField:
                 for t, p in zip(self.tiers, fut.result()):
                     if p is not None:
                         t.apply_refresh(p)
+                        self.swaps += 1
                         swapped = True
             # gen mismatch: discard; the re-check below resubmits
         hole_lo = np.asarray(view.origin, dtype=np.int64)
@@ -1415,6 +1418,32 @@ class StreamingView:
             self.renderer.invalidate_beam()
 
     # ------------------------------------------------------------------
+
+    def settled(self) -> bool:
+        """True when no frame-affecting background work remains: no
+        regions pending upload, no in-flight async upload chunks, and
+        (with far rings) no dirty tier boxes or in-flight ring build.  A
+        frame rendered at a settled state reproduces exactly until the
+        next edit or window move — the serving layer's idle-pose cache
+        condition (skipping render while NOT settled would starve the
+        budgeted paging that still wants to run)."""
+        if self._dirty or self._inflight:
+            return False
+        f = self.far
+        if f is not None and (f._job is not None
+                              or any(t._dirty_boxes for t in f.tiers)):
+            return False
+        return True
+
+    def content_version(self):
+        """Tuple identifying the view's frame-affecting content state:
+        (edit generation, uploads so far, window origin, view size, far
+        ring swaps).  Two settled renders with equal versions and equal
+        cameras produce identical frames."""
+        f = self.far
+        return (self._gen, self.uploads,
+                tuple(int(v) for v in self.origin), int(self.view_size),
+                0 if f is None else f.swaps)
 
     def render(self, camera, bg=(0.0, 0.0, 0.0), out_u8: bool = False,
                out_device: bool = False):

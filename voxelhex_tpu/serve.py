@@ -55,8 +55,10 @@ class RenderService:
         self._lock = threading.Lock()
         self.frames_served = 0
         # frames that rode a validate-once fast path (no blocking counts
-        # read: the fused frame's pose-skip, or a delta-stream digest)
+        # read: the fused frame's pose-skip, a delta-stream digest, or
+        # the streaming idle-pose cache)
         self.pose_validated_frames = 0
+        self._stream_cache = None  # (key, content_version, frame)
         # fuse_plan: repeat frames replay their compaction schedule as one
         # fused dispatch (local-TPU serving; through the slow-compile
         # tunnel a NEW plan signature stalls minutes, so off by default)
@@ -87,7 +89,31 @@ class RenderService:
         )
         with self._lock:
             if self.view is not None:
+                # idle-pose cache: once the view is SETTLED (no pending
+                # paging/async work), a repeated pose at the same content
+                # version reproduces the frame exactly — serve it with
+                # ZERO dispatches (the streaming-path analog of the dense
+                # path's delta stream).  While unsettled we always render
+                # so the budgeted paging keeps making progress.
+                key = (
+                    tuple(np.asarray(origin, dtype=np.float32)),
+                    tuple(np.asarray(target, dtype=np.float32)),
+                    tuple(resolution), float(fov_y_deg), tuple(bg),
+                )
+                cache = self._stream_cache
+                if (cache is not None and cache[0] == key
+                        and self.view.settled()
+                        and self.view.content_version() == cache[1]):
+                    self.pose_validated_frames += 1
+                    self.frames_served += 1
+                    return cache[2]
                 rgb = self.view.render(cam, bg=bg, out_u8=True)
+                if self.view.settled():
+                    self._stream_cache = (
+                        key, self.view.content_version(), np.asarray(rgb)
+                    )
+                else:
+                    self._stream_cache = None
                 r = self.view.renderer
             else:
                 r = self.renderer
@@ -165,6 +191,7 @@ class RenderService:
 
         with self._lock:
             self.tree = tree
+            self._stream_cache = None
             if view_size is not None and view_size < tree.size:
                 self.view = StreamingView(tree, view_size=view_size,
                                           fuse_plan=self.fuse_plan,
