@@ -85,10 +85,20 @@ def main():
     CHAIN = 10
     for i in range(0, args.steps, CHAIN):
         n = min(CHAIN, args.steps - i)
-        params, opt_state, losses = soft.train_steps_fused(
-            params, opt_state, opt, o, d, target, n, fit_albedo=False
-        )
-        loss = losses[-1]
+        if n == CHAIN:
+            params, opt_state, losses = soft.train_steps_fused(
+                params, opt_state, opt, o, d, target, n, fit_albedo=False
+            )
+            loss = losses[-1]
+        else:
+            # tail < CHAIN: per-step loop (a different n_steps would
+            # compile a SECOND chain program — minutes through the
+            # tunnel for a few leftover steps)
+            for _ in range(n):
+                params, opt_state, loss = soft.train_step_fused(
+                    params, opt_state, opt, o, d, target,
+                    fit_albedo=False,
+                )
     jax.block_until_ready(loss)
     dt = time.time() - t0
     print(f"{args.steps} one-dispatch steps in {dt:.2f}s "

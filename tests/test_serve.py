@@ -256,14 +256,19 @@ def test_streaming_idle_pose_cache():
             break
     assert service.view.settled()
     f1 = service.render(origin, target, res)  # fills the cache
-    base = service.pose_validated_frames
+    base = service.stream_cache_hits
     f2 = service.render(origin, target, res)  # cache hit
-    assert service.pose_validated_frames == base + 1
-    assert f2 is service._stream_cache[2]
+    assert service.stream_cache_hits == base + 1
+    assert service.pose_validated_frames >= service.stream_cache_hits
     np.testing.assert_array_equal(f1, f2)
+    # served frames are COPIES: mutating one must not poison the cache
+    f2[:] = 0
+    f2b = service.render(origin, target, res)
+    np.testing.assert_array_equal(f2b, f1)
+    base = service.stream_cache_hits
     # a different pose misses the cache
     f3 = service.render([-28, 60, -30], target, res)
-    assert service.pose_validated_frames == base + 1
+    assert service.stream_cache_hits == base
     # an edit bumps the content version: the old pose re-renders
     service.apply_edits({"op": "insert", "pos": [30, 30, 30],
                          "color": [255, 0, 255, 255], "size": 4})

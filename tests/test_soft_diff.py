@@ -911,3 +911,37 @@ def test_train_steps_fused_records_then_chains():
     p, s, l2 = r.train_steps_fused(p, s, opt, o, d, target, 2)
     assert [k for k in r._step_fns if k[-1] == "chain"]
     assert np.all(np.isfinite(np.asarray(l2)))
+
+
+def test_step_validate_token_tracks_tree_content():
+    """The validate-once token must also fail when the SCENE changes:
+    a tree swap / in-place device refresh replaces the occupancy array,
+    and the next step has to re-validate its plan against the new
+    content (review finding: the ray-only token skipped that)."""
+    import optax
+
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(32, 24))
+    o, d = device_rays(cam)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    r = SoftRenderer(tree, max_hits=2, max_iters=256)
+    params = r.init_params()
+    _c, voxels, _t = r.trace_hits(o, d, compact=True)
+    target = jax.lax.stop_gradient(
+        r.composite(params, jax.lax.stop_gradient(voxels))
+    )
+    opt = optax.adam(0.05)
+    s = opt.init(params)
+    for _ in range(3):
+        params, s, _l = r.train_step_fused(params, s, opt, o, d, target)
+    vkey = r._step_validated[0]
+    assert r._step_token_matches(vkey, o, d)
+    # simulate a content refresh: the device tree's occupancy array is
+    # replaced (every edit/swap path does this)
+    t2 = dict(r._compact_renderer.tree)
+    t2["occ_pairs"] = t2["occ_pairs"] + 0
+    r._compact_renderer.tree = t2
+    assert not r._step_token_matches(vkey, o, d)

@@ -504,22 +504,13 @@ class SoftRenderer:
     # ------------------------------------------------------------------
     # ONE-dispatch training step (VERDICT r3 #1): trace + backward + update
 
-    def _make_step_fn(self, R, entries, pre, has_start, beam_key, bucket,
-                      opt, opacity_l1, fit_albedo, with_update):
-        """Compose the planned multi-hit march (:meth:`_hits_body`), the
-        hit-compacted backward (:meth:`_make_grad_fn`), the opacity-L1
-        term, and (``with_update``) the optimizer update + param clamps
-        into ONE traceable program.  Outputs carry the march's straggler
-        counts and the backward's hit count so plan validation needs no
-        extra dispatch."""
-        import optax
+    def _fused_loss_grads(self, build, grad_f, opacity_l1, fit_albedo):
+        """Traceable march + hit-compacted backward + L1 + albedo-freeze
+        core shared by the single fused step (:meth:`_make_step_fn`) and
+        the scanned chain (:meth:`_make_chain_fn`) — ONE definition, so
+        the chain-vs-loop and sharded parity claims can't drift."""
 
-        build = self._hits_body(R, entries, pre)
-        grad_f = self._make_grad_fn(R, bucket, with_count=True)
-        r = self._compact_renderer
-        beam_body = r._beam_body(*beam_key) if beam_key else None
-
-        def step(tree, params, opt_state, o, d, st, target):
+        def f(tree, params, o, d, st, target):
             count, voxels, _dists, counts = build(tree, o, d, st)
             voxels = jax.lax.stop_gradient(voxels)
             mask = count > 0
@@ -533,14 +524,46 @@ class SoftRenderer:
                 loss = loss + l1_loss
             if not fit_albedo:
                 grads = dict(grads, albedo=jnp.zeros_like(grads["albedo"]))
+            return loss, grads, counts, nh
+
+        return f
+
+    @staticmethod
+    def _apply_update(opt, params, opt_state, grads):
+        """Optimizer update + the param clamps — the step programs' tail
+        (one definition for the same reason as _fused_loss_grads)."""
+        import optax
+
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = {
+            "albedo": jnp.clip(params["albedo"], 0.0, 1.0),
+            "logits": jnp.clip(params["logits"], -12.0, 12.0),
+        }
+        return params, opt_state
+
+    def _make_step_fn(self, R, entries, pre, has_start, beam_key, bucket,
+                      opt, opacity_l1, fit_albedo, with_update):
+        """Compose the planned multi-hit march (:meth:`_hits_body`), the
+        hit-compacted backward (:meth:`_make_grad_fn`), the opacity-L1
+        term, and (``with_update``) the optimizer update + param clamps
+        into ONE traceable program.  Outputs carry the march's straggler
+        counts and the backward's hit count so plan validation needs no
+        extra dispatch."""
+        build = self._hits_body(R, entries, pre)
+        grad_f = self._make_grad_fn(R, bucket, with_count=True)
+        r = self._compact_renderer
+        beam_body = r._beam_body(*beam_key) if beam_key else None
+        loss_grads = self._fused_loss_grads(build, grad_f, opacity_l1,
+                                            fit_albedo)
+
+        def step(tree, params, opt_state, o, d, st, target):
+            loss, grads, counts, nh = loss_grads(tree, params, o, d, st,
+                                                 target)
             if not with_update:
                 return loss, grads, counts, nh
-            updates, opt_state = opt.update(grads, opt_state)
-            params = optax.apply_updates(params, updates)
-            params = {
-                "albedo": jnp.clip(params["albedo"], 0.0, 1.0),
-                "logits": jnp.clip(params["logits"], -12.0, 12.0),
-            }
+            params, opt_state = self._apply_update(opt, params, opt_state,
+                                                   grads)
             return params, opt_state, loss, counts, nh
 
         if beam_key is not None:
@@ -628,10 +651,12 @@ class SoftRenderer:
         blocking read because the march is deterministic in (tree, rays) —
         identical inputs reproduce the validated counts exactly.  The
         token holds WEAKREFS to the ray arrays (a new batch that recycles
-        a dead array's id re-validates) and, for host (numpy) arrays, a
-        content fingerprint (an in-place refill of the same buffer
-        re-validates; device arrays are immutable so identity suffices).
-        Pass ``validate=True`` to force the check.  On overflow the plans
+        a dead array's id re-validates) and to the device tree's
+        occupancy array (a scene edit / tree swap re-validates against
+        the new content), plus, for host (numpy) arrays, a content
+        fingerprint (an in-place refill of the same buffer re-validates;
+        device arrays are immutable so identity suffices).  Pass
+        ``validate=True`` to force the check.  On overflow the plans
         drop and the step recomputes adaptively, so returned values are
         always exact."""
         beam_tok = beam["key"] if beam is not None else None
@@ -673,7 +698,8 @@ class SoftRenderer:
                                                           dirs)
         )
         if not skip_read:
-            counts_h = np.asarray(counts)  # the one blocking read
+            # the one blocking fetch (both count families in one RTT)
+            counts_h, nh_h = jax.device_get((counts, nh))
             bad = int(counts_h[-1]) != 0
             k = 0
             if pre is not None:
@@ -683,7 +709,7 @@ class SoftRenderer:
             for i, (_iters, b) in enumerate(entries):
                 if b is not None and int(counts_h[k + i]) > b:
                     bad = True
-            if bucket < R and int(np.asarray(nh)) > bucket:
+            if bucket < R and int(nh_h) > bucket:
                 bad = True
             if bad:
                 self._soft_plans.pop(plan_key, None)
@@ -700,18 +726,30 @@ class SoftRenderer:
     @staticmethod
     def _rays_fp(arr):
         """Cheap content fingerprint for HOST ray arrays: shape/dtype plus
-        a 16-element strided sample's bytes — an in-place refill of the
+        a 4096-element strided sample's bytes — an in-place refill of the
         same numpy buffer then fails the validate-once token and forces a
-        fresh counts read.  Device (jax) arrays are immutable, so object
-        identity (held by weakref in the token) already implies identical
-        content -> None."""
+        fresh counts read.  The sample stride bounds the blind spot: any
+        contiguous in-place change of >= n/4096 elements (a single pixel
+        ROW at 1080p is ~1.4x the stride) is guaranteed caught; smaller
+        scattered writes are caught probabilistically — pass
+        ``validate=True`` when mutating rays in place below that grain.
+        Device (jax) arrays are immutable, so object identity (held by
+        weakref in the token) already implies identical content -> None."""
         if isinstance(arr, np.ndarray):
             a = np.ascontiguousarray(arr).reshape(-1)
             n = a.shape[0]
-            idx = np.linspace(0, n - 1, num=min(16, max(n, 1)),
+            idx = np.linspace(0, n - 1, num=min(4096, max(n, 1)),
                               dtype=np.int64) if n else np.zeros(0, np.int64)
-            return (arr.shape, arr.dtype.str, a[idx].tobytes())
+            return (arr.shape, arr.dtype.str,
+                    hash(a[idx].tobytes()))
         return None
+
+    def _tree_key_array(self):
+        # the device tree is a plain dict (not weakref-able); its
+        # occupancy-pairs array IS weakref-able and pins both identity
+        # and content (jax arrays are immutable; every tree swap or
+        # streaming in-place refresh replaces this array)
+        return self._compact_renderer.tree["occ_pairs"]
 
     def _make_step_token(self, vkey, origins, dirs):
         import weakref
@@ -723,17 +761,19 @@ class SoftRenderer:
                 return None
 
         return (vkey, _ref(origins), _ref(dirs), self._rays_fp(origins),
-                self._rays_fp(dirs))
+                self._rays_fp(dirs), _ref(self._tree_key_array()))
 
     def _step_token_matches(self, vkey, origins, dirs):
         st = self._step_validated
         if st is None or st[0] != vkey:
             return False
-        ro, rd, fpo, fpd = st[1], st[2], st[3], st[4]
-        if ro is None or rd is None:  # un-weakref-able inputs: re-validate
-            return False
+        ro, rd, fpo, fpd, rt = st[1], st[2], st[3], st[4], st[5]
+        if ro is None or rd is None or rt is None:
+            return False  # un-weakref-able inputs: re-validate
         if ro() is not origins or rd() is not dirs:
             return False
+        if rt() is not self._tree_key_array():
+            return False  # scene content changed: validate vs the new tree
         return (fpo == self._rays_fp(origins)
                 and fpd == self._rays_fp(dirs))
 
@@ -749,33 +789,18 @@ class SoftRenderer:
         forward path's K-frame lever applied to training, killing the
         per-step dispatch residual that made step time session-dependent
         (406 ms best vs 649 ms in a dispatch-bound session, PERF.md)."""
-        import optax
-
         build = self._hits_body(R, entries, pre)
         grad_f = self._make_grad_fn(R, bucket, with_count=True)
         r = self._compact_renderer
         beam_body = r._beam_body(*beam_key) if beam_key else None
+        loss_grads = self._fused_loss_grads(build, grad_f, opacity_l1,
+                                            fit_albedo)
 
         def body(tree, params, opt_state, o, d, st, target):
-            count, voxels, _dists, counts = build(tree, o, d, st)
-            voxels = jax.lax.stop_gradient(voxels)
-            mask = count > 0
-            loss, grads, nh = grad_f(params, mask, voxels, target)
-            if opacity_l1:
-                l1_loss, l1_grads = jax.value_and_grad(
-                    lambda p: opacity_l1
-                    * jnp.mean(jax.nn.sigmoid(p["logits"]))
-                )(params)
-                grads = jax.tree.map(jnp.add, grads, l1_grads)
-                loss = loss + l1_loss
-            if not fit_albedo:
-                grads = dict(grads, albedo=jnp.zeros_like(grads["albedo"]))
-            updates, opt_state = opt.update(grads, opt_state)
-            params = optax.apply_updates(params, updates)
-            params = {
-                "albedo": jnp.clip(params["albedo"], 0.0, 1.0),
-                "logits": jnp.clip(params["logits"], -12.0, 12.0),
-            }
+            loss, grads, counts, nh = loss_grads(tree, params, o, d, st,
+                                                 target)
+            params, opt_state = self._apply_update(opt, params, opt_state,
+                                                   grads)
             return params, opt_state, loss, counts, nh
 
         def chain(tree, params, opt_state, o, d, st, target):
@@ -822,10 +847,10 @@ class SoftRenderer:
         program's per-step counts are folded by max (the march is
         identical every step — geometry-only — so one bad step means a
         bad plan) and checked on first sight of the pair."""
-        plan_key_probe = (
-            jnp.asarray(origins, dtype=F32).reshape(-1, 3).shape[0],
-            beam is not None,
-        )
+        # ray count from host-side shape math only — converting the whole
+        # buffer to a device array just to read .shape would ship ~24 MB
+        # per call at 1080p through the tunnel (transfer discipline)
+        plan_key_probe = (int(np.size(origins)) // 3, beam is not None)
         if (self._soft_plans.get(plan_key_probe) is None
                 or self._grad_plans.get(plan_key_probe[0]) is None):
             losses = []
@@ -871,7 +896,11 @@ class SoftRenderer:
                                                           dirs)
         )
         if not skip_read:
-            counts_h = np.asarray(counts).max(axis=0)  # fold over steps
+            # ONE blocking fetch for both count families (each read is a
+            # tunnel round-trip); fold over steps by max — the march is
+            # identical every step, so any bad step means a bad plan
+            counts_a, nhs_h = jax.device_get((counts, nhs))
+            counts_h = counts_a.max(axis=0)
             bad = int(counts_h[-1]) != 0
             k = 0
             if pre is not None:
@@ -881,7 +910,7 @@ class SoftRenderer:
             for i, (_iters, b) in enumerate(entries):
                 if b is not None and int(counts_h[k + i]) > b:
                     bad = True
-            if bucket < R and int(np.asarray(nhs).max()) > bucket:
+            if bucket < R and int(nhs_h.max()) > bucket:
                 bad = True
             if bad:
                 self._soft_plans.pop((R, has_start), None)

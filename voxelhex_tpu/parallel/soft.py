@@ -357,6 +357,11 @@ def sharded_soft_train_step_e2e(
             cnt, voxels, _dists = trace(tree, o, d)
             counts = None
         voxels = jax.lax.stop_gradient(voxels)
+        # NOTE: the L1/fit_albedo handling below mirrors
+        # SoftRenderer._fused_loss_grads (the single-chip canon); it
+        # cannot reuse it directly because the pmean all-reduce must sit
+        # BETWEEN the local grads and the update — keep the two in sync
+        # (the e2e parity tests pin equality).
         if grad_f is not None:
             loss, grads, nh = grad_f(params, cnt > 0, voxels, targets)
             if opacity_l1:
@@ -431,10 +436,28 @@ class CheckedShardedSoftStep:
     @staticmethod
     def _vkey(tree, cam_args):
         # camera params are ~60 B — key on their CONTENT (host bytes) so
-        # a same-pose array rebuilt per step still skips the counts read
-        return (id(tree),) + tuple(
+        # a same-pose array rebuilt per step still skips the counts read.
+        # The TREE component is a weakref to its occupancy-pairs array
+        # (the dict itself is not weakref-able): jax arrays are immutable
+        # and every tree swap/in-place refresh replaces the array, so a
+        # recycled dict id can never alias a dead tree (the raw-id bug
+        # train_step_fused's token fix closed).
+        import weakref
+
+        try:
+            ref = weakref.ref(tree["occ_pairs"])
+        except TypeError:  # pragma: no cover - exotic tree types
+            ref = None
+        return ((ref,) + tuple(
             np.asarray(a, dtype=np.float32).tobytes() for a in cam_args
-        )
+        ))
+
+    @staticmethod
+    def _vkey_matches(vkey, validated, tree):
+        if validated is None or vkey[1:] != validated[1:]:
+            return False
+        ref = validated[0]
+        return ref is not None and ref() is tree.get("occ_pairs")
 
     def __call__(self, tree, params, opt_state, origin, right, up,
                  forward, scale, targets):
@@ -443,8 +466,8 @@ class CheckedShardedSoftStep:
                                 up, forward, scale, targets)
             p, s, loss, counts = out
             vkey = self._vkey(tree, (origin, right, up, forward, scale))
-            if vkey == self._validated or validate_shard_counts(
-                    counts, self._plan, self._n):
+            if self._vkey_matches(vkey, self._validated, tree) or \
+                    validate_shard_counts(counts, self._plan, self._n):
                 self._validated = vkey
                 return p, s, loss
             # overflow: the planned march truncated hits — p/s are

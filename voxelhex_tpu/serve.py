@@ -58,6 +58,7 @@ class RenderService:
         # read: the fused frame's pose-skip, a delta-stream digest, or
         # the streaming idle-pose cache)
         self.pose_validated_frames = 0
+        self.stream_cache_hits = 0  # idle-pose cache hits (streaming)
         self._stream_cache = None  # (key, content_version, frame)
         # fuse_plan: repeat frames replay their compaction schedule as one
         # fused dispatch (local-TPU serving; through the slow-compile
@@ -105,8 +106,11 @@ class RenderService:
                         and self.view.settled()
                         and self.view.content_version() == cache[1]):
                     self.pose_validated_frames += 1
+                    self.stream_cache_hits += 1
                     self.frames_served += 1
-                    return cache[2]
+                    # copy: callers may draw into the returned frame, and
+                    # the cache's own array must stay pristine
+                    return cache[2].copy()
                 rgb = self.view.render(cam, bg=bg, out_u8=True)
                 if self.view.settled():
                     self._stream_cache = (
@@ -128,7 +132,11 @@ class RenderService:
                                   {}).get("pose_validated"):
                 self.pose_validated_frames += 1
             self.frames_served += 1
-            return np.asarray(rgb)
+            # always hand out a COPY: the delta stream returns its own
+            # host baseline array (render_delta_many documents it as
+            # read-only) and a caller drawing an overlay in place would
+            # otherwise corrupt every future reconstructed frame
+            return np.array(rgb, copy=True)
 
     def apply_edits(self, ops) -> int:
         """Apply a list of edit dicts; returns the number applied.  Edits go
@@ -268,6 +276,7 @@ class RenderService:
             "node_count": int(self.tree.node_count),
             "frames_served": self.frames_served,
             "pose_validated_frames": self.pose_validated_frames,
+            "stream_cache_hits": self.stream_cache_hits,
             "streaming": self.view is not None,
             "view_size": (int(self.view.view_size)
                           if self.view is not None else None),
