@@ -280,7 +280,9 @@ def main():
         jax.block_until_ready(loss)
         return (time.time() - t0) / NSTEP
 
-    CHAIN = 8  # steps per dispatch in the scanned-chain arm
+    CHAIN = 16  # steps per dispatch in the scanned-chain arm (same-
+    # session A/B: 16 -> 287.1 ms/step vs 8 -> 306.6, 1.068x — the
+    # hoisted march's residual amortizes further; PERF.md round 5b)
 
     def fwdbwd_batch_chain(kw):
         """CHAIN whole steps as ONE dispatch (train_steps_fused scans the
