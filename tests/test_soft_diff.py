@@ -945,3 +945,32 @@ def test_step_validate_token_tracks_tree_content():
     t2["occ_pairs"] = t2["occ_pairs"] + 0
     r._compact_renderer.tree = t2
     assert not r._step_token_matches(vkey, o, d)
+
+
+def test_fit_soft_chain_matches_per_step():
+    """fit_soft's scanned grad-step blocks must reproduce the per-step
+    loop bit-for-bit: same loss history, same final params — including
+    around checkpoint boundaries that force remainder blocks."""
+    from voxelhex_tpu.diff.soft import fit_soft
+    from voxelhex_tpu.render.camera import device_rays, orbit_camera
+
+    tree = _step_scene()
+    cam = orbit_camera(16.0, resolution=(24, 18))
+    o, d = device_rays(cam)
+    r = SoftRenderer(tree, max_hits=2, max_iters=256)
+    params_true = r.init_params()
+    _c, v, _t = r.trace_hits(o.reshape(-1, 3), d.reshape(-1, 3))
+    target = np.asarray(
+        r.composite(params_true, jax.lax.stop_gradient(v))
+    )
+    p0 = {
+        "albedo": jnp.clip(params_true["albedo"] + 0.2, 0.0, 1.0),
+        "logits": params_true["logits"] * 0.5,
+    }
+    pa, la = fit_soft(r, o, d, target, steps=11, params0=p0, chain=1)
+    pb, lb = fit_soft(r, o, d, target, steps=11, params0=p0, chain=4)
+    assert len(la) == len(lb) == 11
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for k in pa:
+        np.testing.assert_array_equal(np.asarray(pa[k]),
+                                      np.asarray(pb[k]))

@@ -1201,6 +1201,7 @@ def fit_soft(
     fit_albedo: bool = True,
     checkpoint_path=None,
     checkpoint_every: int = 0,
+    chain: int = 8,
 ):
     """Optimize albedo + occupancy logits against target pixels.
 
@@ -1211,7 +1212,14 @@ def fit_soft(
     the end), and an interrupted fit restarted with the same path resumes
     from the last checkpoint with identical results to an uninterrupted run
     (the SURVEY §5 checkpoint/resume subsystem applied to training).
-    Returns (params, losses)."""
+
+    ``chain``: grad steps per dispatch — full ``chain``-sized blocks run
+    as ONE scanned program with ONE blocking loss fetch (the per-step
+    loop paid a dispatch + a host round-trip PER STEP; through the
+    remote tunnel those dominate the ~120 ms grad program).  Remainder
+    blocks (tail, checkpoint boundaries) run per-step; the loss history
+    and final params are bit-identical either way.  Returns
+    (params, losses)."""
     import optax
 
     targets = jnp.asarray(targets).reshape(-1, 3)
@@ -1241,8 +1249,7 @@ def fit_soft(
             loss = loss + opacity_l1 * jnp.mean(jax.nn.sigmoid(p["logits"]))
         return loss
 
-    @jax.jit
-    def step(params, opt_state):
+    def step_math(params, opt_state):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
@@ -1252,12 +1259,38 @@ def fit_soft(
         }
         return params, opt_state, loss
 
+    step = jax.jit(step_math)
+    chain = max(1, int(chain))
+
+    @jax.jit
+    def step_block(params, opt_state):
+        def one(carry, _):
+            p, s, loss = step_math(*carry)
+            return (p, s), loss
+
+        (p, s), ls = jax.lax.scan(
+            one, (params, opt_state), None, length=chain
+        )
+        return p, s, ls
+
     losses = []
-    for i in range(start, steps):
-        params, opt_state, loss = step(params, opt_state)
-        losses.append(float(loss))
-        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
-            save_train_state(checkpoint_path, i + 1, params, opt_state)
+    i = start
+    while i < steps:
+        # stop at the next checkpoint boundary so resume points land on
+        # the exact steps the per-step loop produced
+        stop = steps
+        if checkpoint_path and checkpoint_every:
+            stop = min(stop, ((i // checkpoint_every) + 1) * checkpoint_every)
+        if chain > 1 and stop - i >= chain:
+            params, opt_state, ls = step_block(params, opt_state)
+            losses.extend(float(l) for l in np.asarray(ls))
+            i += chain
+        else:
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+            i += 1
+        if checkpoint_path and checkpoint_every and i % checkpoint_every == 0:
+            save_train_state(checkpoint_path, i, params, opt_state)
     if checkpoint_path and start < steps:
         save_train_state(checkpoint_path, steps, params, opt_state)
     return params, losses
