@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from voxelhex_tpu.diff.render import DiffRenderer
@@ -27,6 +28,7 @@ def fit_albedo(
     precompute_hits: bool = True,
     checkpoint_path=None,
     checkpoint_every: int = 0,
+    chain: int = 8,
 ):
     """Fit per-voxel albedo to target pixels.
 
@@ -37,6 +39,11 @@ def fit_albedo(
     * ``checkpoint_path`` / ``checkpoint_every`` — save (step, params,
       optimizer state) periodically; a restarted fit with the same path
       resumes where it stopped (identical results to an uninterrupted run)
+    * ``chain`` — grad steps per dispatch: full blocks run as one
+      scanned program with one blocking loss fetch (the per-step loop
+      pays a dispatch + host round-trip per step); remainder blocks run
+      per-step, results bit-identical (same policy as
+      :func:`voxelhex_tpu.diff.soft.fit_soft`)
 
     Returns (params, losses).
     """
@@ -78,20 +85,43 @@ def fit_albedo(
         def loss_fn(p):
             return diff.loss(p, origins, dirs, targets)
 
-    @jax.jit
-    def step(params, opt_state):
+    def step_math(params, opt_state):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         params = jnp.clip(params, 0.0, 1.0)
         return params, opt_state, loss
 
+    step = jax.jit(step_math)
+    chain = max(1, int(chain))
+
+    @jax.jit
+    def step_block(params, opt_state):
+        def one(carry, _):
+            p, s, loss = step_math(*carry)
+            return (p, s), loss
+
+        (p, s), ls = jax.lax.scan(
+            one, (params, opt_state), None, length=chain
+        )
+        return p, s, ls
+
     losses = []
-    for i in range(start, steps):
-        params, opt_state, loss = step(params, opt_state)
-        losses.append(float(loss))
-        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
-            save_train_state(checkpoint_path, i + 1, params, opt_state)
+    i = start
+    while i < steps:
+        stop = steps
+        if checkpoint_path and checkpoint_every:
+            stop = min(stop, ((i // checkpoint_every) + 1) * checkpoint_every)
+        if chain > 1 and stop - i >= chain:
+            params, opt_state, ls = step_block(params, opt_state)
+            losses.extend(float(l) for l in np.asarray(ls))
+            i += chain
+        else:
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+            i += 1
+        if checkpoint_path and checkpoint_every and i % checkpoint_every == 0:
+            save_train_state(checkpoint_path, i, params, opt_state)
     if checkpoint_path and start < steps:
         save_train_state(checkpoint_path, steps, params, opt_state)
     return params, losses
