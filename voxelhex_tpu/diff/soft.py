@@ -1218,8 +1218,13 @@ def fit_soft(
     loop paid a dispatch + a host round-trip PER STEP; through the
     remote tunnel those dominate the ~120 ms grad program).  Remainder
     blocks (tail, checkpoint boundaries) run per-step; the loss history
-    and final params are bit-identical either way.  Returns
-    (params, losses)."""
+    and final params are bit-identical either way.
+
+    Scale note: this trainer's backward is FULL-WIDTH over the ray
+    batch; for frame-scale ray counts (1080p) use
+    :meth:`SoftRenderer.train_step_fused` / :meth:`train_steps_fused`
+    instead — their hit-compacted backward is both faster and far
+    lighter on HBM (the bench path).  Returns (params, losses)."""
     import optax
 
     targets = jnp.asarray(targets).reshape(-1, 3)
