@@ -89,18 +89,28 @@ def test_insert_many_fires_triggers():
 
 
 def test_insert_many_speedup():
+    import gc
     import time
 
     pts, cols = _edits(size=64, seed=5, n=2000)
-    a = _base()
-    b = _base()
-    t0 = time.time()
-    insert_many(a, pts, cols)
-    batched = time.time() - t0
-    t0 = time.time()
-    for p, c in zip(pts, cols):
-        b.insert(tuple(int(v) for v in p), Albedo(*(int(x) for x in c)))
-    sequential = time.time() - t0
+    # best-of-2 on FRESH trees per rep: after heavy suite neighbors
+    # (multi-GB far-field tests) the first vectorized pass runs against a
+    # cold/fragmented allocator and measured ~2x slower than in isolation
+    # (full-suite flake, 2026-08-22); the second rep reflects steady state
+    gc.collect()
+    batched = float("inf")
+    for _ in range(2):
+        a = _base()
+        t0 = time.time()
+        insert_many(a, pts, cols)
+        batched = min(batched, time.time() - t0)
+    sequential = float("inf")
+    for _ in range(2):
+        b = _base()
+        t0 = time.time()
+        for p, c in zip(pts, cols):
+            b.insert(tuple(int(v) for v in p), Albedo(*(int(x) for x in c)))
+        sequential = min(sequential, time.time() - t0)
     # sequential single-voxel inserts got ~4.5x faster (scalar-math edit
     # path), so the batched advantage narrowed to ~2-2.5x; assert a
     # conservative 1.5x plus an absolute per-op ceiling
